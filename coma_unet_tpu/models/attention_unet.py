@@ -1,0 +1,140 @@
+"""Covariate-conditioned 3D Attention U-Net.
+
+Re-architecture of `ObservableAttentionUnet`
+(`attn_unet_data_parallel.py:243-434`): the reference builds the encoder-
+decoder recursively and threads activations through a nested-tuple pyramid
+(`:235-240`) that `forward` re-unrolls (`:389-432`). Here the network is an
+explicit iterative encoder/decoder over flat lists — the same computation and
+feature-extraction order, expressed as a clean pytree XLA can schedule.
+
+Per-level feature order matches the reference's unrolled lists exactly:
+  encoder_feats = [c0@full, c1@1/2, ..., c_{L-1}@1/2^{L-1}]   (ref :401-421)
+  decoder_feats = [c0 merged (final), c1 merged, ..., c_{L-2} merged]
+
+Covariate threading matches `:209,212,425,428`: ConvBlocks (head + encoder)
+see covariate[..., :5]; UpBlocks and the 1x1 reduce conv see all 6.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from coma_unet_tpu.config import ModelConfig
+from coma_unet_tpu.models.blocks import (
+    AttentionGate,
+    CondConvolution,
+    ConvBlock,
+    Convolution,
+    UpBlock,
+)
+
+
+@flax.struct.dataclass
+class UNetFeatures:
+    out: jnp.ndarray                      # [B, out_channels, D, H, W]
+    encoder: Tuple[jnp.ndarray, ...]      # per-level encoder features
+    decoder: Tuple[jnp.ndarray, ...]      # per-level merged decoder features
+    attention: Tuple[jnp.ndarray, ...]    # psi maps, top level first
+
+
+class AttentionUNet(nn.Module):
+    """The encoder-decoder backbone (reduce_channels included)."""
+
+    config: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        covariate: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> UNetFeatures:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        pdtype = jnp.dtype(cfg.param_dtype)
+        channels = cfg.channels
+        strides = cfg.strides
+        depth = len(channels)
+
+        cov_block = None
+        cov_full = None
+        if cfg.conditional and covariate is not None:
+            cov_full = covariate.reshape(covariate.shape[0], -1)
+            cov_block = cov_full[:, : cfg.block_num_covars]
+
+        block_args = dict(
+            kernel_size=cfg.kernel_size,
+            dropout=cfg.dropout,
+            conditional=cfg.conditional,
+            num_covars=cfg.block_num_covars,
+            num_experts=cfg.num_experts,
+            film=cfg.film,
+            norm=cfg.norm,
+            dtype=dtype,
+            param_dtype=pdtype,
+        )
+
+        # ---- encoder ----
+        # head: ConvBlock(in -> channels[0], stride 1)  (ref :289-294)
+        h = ConvBlock(out_channels=channels[0], strides=1, name="head",
+                      **block_args)(x, cov_block, train=train)
+        encoder: List[jnp.ndarray] = [h]
+        for i in range(depth - 1):
+            h = ConvBlock(
+                out_channels=channels[i + 1], strides=strides[i],
+                name=f"down{i}", **block_args,
+            )(h, cov_block, train=train)
+            encoder.append(h)
+
+        # ---- decoder (bottom-up) ----
+        attention_maps: List[Any] = [None] * (depth - 1)
+        decoder_rev: List[jnp.ndarray] = []
+        d = encoder[-1]
+        for i in range(depth - 2, -1, -1):
+            up = UpBlock(
+                out_channels=channels[i], strides=strides[i],
+                kernel_size=cfg.up_kernel_size, dropout=cfg.dropout,
+                conditional=cfg.conditional, num_covars=cfg.num_covars,
+                num_experts=cfg.num_experts, film=cfg.film, norm=cfg.norm,
+                dtype=dtype, param_dtype=pdtype, name=f"up{i}",
+            )(d, cov_full, train=train)
+            att, psi = AttentionGate(
+                f_int=max(channels[i] // 2, 1), norm=cfg.norm, dtype=dtype,
+                param_dtype=pdtype, name=f"gate{i}",
+            )(up, encoder[i], train=train)
+            merged = Convolution(
+                out_channels=channels[i], kernel_size=3, act="prelu",
+                norm=cfg.norm, dropout=cfg.dropout, dtype=dtype,
+                param_dtype=pdtype, name=f"merge{i}",
+            )(jnp.concatenate([att, up], axis=1), train=train)
+            attention_maps[i] = psi
+            decoder_rev.append(merged)
+            d = merged
+
+        decoder = list(reversed(decoder_rev))
+
+        # ---- 1x1 reduce conv (ref :296-306): conv_only, full 6 covars ----
+        if cfg.conditional:
+            out = CondConvolution(
+                out_channels=cfg.out_channels, kernel_size=1, strides=1,
+                conv_only=True, num_experts=cfg.num_experts,
+                num_covars=cfg.num_covars, film=cfg.film, dtype=dtype,
+                param_dtype=pdtype, name="reduce",
+            )(d, cov_full, train=train)
+        else:
+            out = Convolution(
+                out_channels=cfg.out_channels, kernel_size=1, strides=1,
+                conv_only=True, dtype=dtype, param_dtype=pdtype, name="reduce",
+            )(d, train=train)
+
+        return UNetFeatures(
+            out=out,
+            encoder=tuple(encoder),
+            decoder=tuple(decoder),
+            attention=tuple(attention_maps),
+        )

@@ -1,0 +1,552 @@
+"""Building blocks for the covariate-modulated 3D attention U-Net.
+
+Behavioral parity targets (reference file:line cited per class):
+  * `Convolution`   — MONAI `Convolution` (conv -> norm -> dropout -> act,
+                      "NDA" ordering), used throughout
+                      `attn_unet_data_parallel.py` via MONAI.
+  * `ConvBlock`     — MONAI `attentionunet.ConvBlock` (two Convolutions).
+  * `CondConvolution`/`CondConvBlock` — the missing `CondConv` module
+                      reconstructed from its call sites
+                      (`attn_unet_data_parallel.py:126,285-306`; SURVEY §2.9):
+                      per-example expert-mixture convolution (CondConv, Yang
+                      et al. 2019) routed from the covariate vector, plus an
+                      optional FiLM scale-shift.
+  * `AttentionGate` — `ObservableAttentionBlock`
+                      (`attn_unet_data_parallel.py:134-150`):
+                      psi = sigmoid(psi_conv(relu(W_g g + W_x x))), out = x*psi.
+  * `UpBlock`       — `attn_unet_data_parallel.py:120-131` (transposed conv).
+  * `StackedFusionConvLayers` — `attn_unet_data_parallel.py:480-501`.
+  * `ProjectionHead`— `attn_unet_data_parallel.py:436-454`.
+
+TPU-first design: activations are NCDHW — channels *second*, W innermost.
+TPU memory tiles the last two dims to (sublane, 128-lane); this network's
+channel counts are tiny (1..32) at full 128^3 resolution, so a channels-last
+layout would pad the lane dim up to 128x (measured: 8.9 GB of activations
+ballooning to 32.8 GB of padded HBO). With W=128 on lanes and H on sublanes,
+full-resolution tensors tile exactly. The expert-mixture conv executes as ONE
+grouped `conv_general_dilated` (groups = batch) instead of a per-sample
+Python loop; bfloat16 compute with float32 params and float32 norm stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+# ---------------------------------------------------------------------------
+# small utilities
+# ---------------------------------------------------------------------------
+
+
+def _triple(v: Union[int, Sequence[int]]) -> Tuple[int, int, int]:
+    if isinstance(v, int):
+        return (v, v, v)
+    t = tuple(v)
+    assert len(t) == 3
+    return t  # type: ignore[return-value]
+
+
+def same_padding(kernel: Tuple[int, int, int]) -> Tuple[Tuple[int, int], ...]:
+    return tuple((k // 2, k - 1 - k // 2) for k in kernel)
+
+
+def transposed_padding(
+    kernel: Tuple[int, int, int], strides: Tuple[int, int, int]
+) -> Tuple[Tuple[int, int], ...]:
+    """lhs-dilated conv padding equivalent to torch
+    ConvTranspose3d(k, s, padding=k//2, output_padding=s-1) — the MONAI
+    'SAME' transposed conv that exactly doubles spatial size at s=2."""
+    return tuple(
+        (k - 1 - k // 2, k - 1 - k // 2 + s - 1) for k, s in zip(kernel, strides)
+    )
+
+
+class PReLU(nn.Module):
+    """torch-default PReLU: one shared learnable slope, init 0.25."""
+
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        alpha = self.param(
+            "alpha", lambda _: jnp.asarray(0.25, dtype=self.param_dtype)
+        )
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+def get_act(name: Optional[str]) -> Optional[Callable]:
+    if name is None or name == "none":
+        return None
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu
+    if name == "leakyrelu":
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=1e-2)
+    if name == "sigmoid":
+        return jax.nn.sigmoid
+    if name == "tanh":
+        return jnp.tanh
+    if name == "gelu":
+        return jax.nn.gelu
+    raise ValueError(f"unknown activation {name}")
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims.
+
+    Matches torch `InstanceNorm3d` defaults (affine=False, eps=1e-5) used by
+    MONAI's Norm.INSTANCE. Stats in float32 regardless of compute dtype.
+    """
+
+    epsilon: float = 1e-5
+    use_scale: bool = False
+    use_bias: bool = False
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(2, x.ndim))  # spatial dims of NCDHW
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+        # normalize in the compute dtype: the f32 stats are per-(B,C) scalars,
+        # so the full-resolution tensor never materializes in f32.
+        y = (x - mean.astype(orig_dtype)) * jax.lax.rsqrt(
+            var + self.epsilon
+        ).astype(orig_dtype)
+        c = x.shape[1]
+        shape = (c,) + (1,) * (x.ndim - 2)
+        if self.use_scale:
+            y = y * self.param(
+                "scale", nn.initializers.ones, (c,), self.param_dtype
+            ).reshape(shape).astype(orig_dtype)
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (c,), self.param_dtype
+            ).reshape(shape).astype(orig_dtype)
+        return y
+
+
+class Norm(nn.Module):
+    """Norm factory: 'instance' | 'batch' | 'none'.
+
+    'batch' uses flax BatchNorm with running stats (mutable 'batch_stats'
+    collection); pass `axis_name` for cross-replica (SyncBN-style) stats on a
+    device mesh — the TPU-native upgrade of the reference's imported-but-dead
+    `SyncBatchNorm` (`attn_unet_data_parallel.py:32`).
+    """
+
+    kind: str = "instance"
+    axis_name: Optional[str] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        if self.kind in (None, "none"):
+            return x
+        if self.kind == "instance":
+            return InstanceNorm(param_dtype=self.param_dtype, name="inorm")(x)
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                axis=1,  # NCDHW feature axis
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                axis_name=self.axis_name,
+                name="bnorm",
+            )(x)
+        raise ValueError(f"unknown norm {self.kind}")
+
+
+# ---------------------------------------------------------------------------
+# convolution primitives
+# ---------------------------------------------------------------------------
+
+_DIMNUMS = ("NCDHW", "OIDHW", "NCDHW")
+
+
+def conv_kernel_init(fan_in: int):
+    """torch Conv3d default (kaiming uniform, a=sqrt(5)):
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+
+    def init(key, shape, dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def conv3d(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    padding,
+    groups: int = 1,
+    lhs_dilation: Optional[Tuple[int, int, int]] = None,
+) -> jnp.ndarray:
+    # NB: no preferred_element_type override — for bf16 operands the TPU MXU
+    # accumulates in f32 natively, and forcing f32 outputs breaks the conv
+    # transpose rule under AD (f32 cotangent vs bf16 kernel).
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=strides,
+        padding=padding,
+        lhs_dilation=lhs_dilation,
+        dimension_numbers=_DIMNUMS,
+        feature_group_count=groups,
+    )
+
+
+class Convolution(nn.Module):
+    """MONAI-equivalent Convolution: conv (or transposed conv) -> norm ->
+    dropout -> act. `conv_only=True` skips norm/dropout/act."""
+
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    act: Optional[str] = "prelu"
+    norm: Optional[str] = "instance"
+    dropout: float = 0.0
+    conv_only: bool = False
+    is_transposed: bool = False
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        kernel_size = _triple(self.kernel_size)
+        strides = _triple(self.strides)
+        in_ch = x.shape[1]
+        fan_in = in_ch * int(np.prod(kernel_size))
+        w = self.param(
+            "kernel",
+            conv_kernel_init(fan_in),
+            (self.out_channels, in_ch) + kernel_size,
+            self.param_dtype,
+        )
+        x = x.astype(self.dtype)
+        wc = w.astype(self.dtype)
+        if self.is_transposed:
+            y = conv3d(
+                x, wc, (1, 1, 1),
+                transposed_padding(kernel_size, strides),
+                lhs_dilation=strides,
+            )
+        else:
+            y = conv3d(x, wc, strides, same_padding(kernel_size))
+        if self.use_bias:
+            b = self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
+            )
+            y = y + b.astype(y.dtype).reshape(1, -1, 1, 1, 1)
+        y = y.astype(self.dtype)
+        if self.conv_only:
+            return y
+        y = Norm(kind=self.norm, axis_name=self.axis_name,
+                 param_dtype=self.param_dtype, name="norm")(y, train=train)
+        if self.dropout > 0.0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+        if self.act == "prelu":
+            y = PReLU(param_dtype=self.param_dtype, name="prelu")(y)
+        else:
+            fn = get_act(self.act)
+            if fn is not None:
+                y = fn(y)
+        return y
+
+
+class CondConvolution(nn.Module):
+    """Covariate-conditioned convolution (the reconstructed `CondConv`).
+
+    A routing head maps the per-sample covariate vector [B, K] (or [B, 1, K])
+    to sigmoid gates over `num_experts` expert kernels (CondConv, Yang et al.
+    2019); the per-sample mixed kernel is applied as a single grouped conv
+    with feature_group_count = batch. Optionally a FiLM scale-shift (also from
+    the covariates) follows normalization — BASELINE.json frames the reference
+    behavior as "FiLM-style covariate modulation", so both mechanisms are
+    first-class.
+
+    Call-site contract (`attn_unet_data_parallel.py:126,296-306,324`):
+    forward(x, covariate) with covariate [B, 1, K]; supports is_transposed,
+    conv_only, strides/kernel_size/padding/dropout/num_experts/num_covars.
+    """
+
+    out_channels: int
+    kernel_size: Union[int, Sequence[int]] = 3
+    strides: Union[int, Sequence[int]] = 1
+    act: Optional[str] = "prelu"
+    norm: Optional[str] = "instance"
+    dropout: float = 0.0
+    conv_only: bool = False
+    is_transposed: bool = False
+    num_experts: int = 8
+    num_covars: int = 5
+    film: bool = True
+    use_bias: bool = True
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, covariate: Optional[jnp.ndarray], train: bool = True
+    ) -> jnp.ndarray:
+        kernel_size = _triple(self.kernel_size)
+        strides = _triple(self.strides)
+        b, in_ch = x.shape[0], x.shape[1]
+        fan_in = in_ch * int(np.prod(kernel_size))
+
+        experts = self.param(
+            "experts",
+            conv_kernel_init(fan_in),
+            (self.num_experts, self.out_channels, in_ch) + kernel_size,
+            self.param_dtype,
+        )
+
+        if covariate is None:
+            cov = jnp.zeros((b, self.num_covars), dtype=jnp.float32)
+        else:
+            cov = covariate.reshape(b, -1)[:, : self.num_covars].astype(jnp.float32)
+
+        # routing gates [B, E]; sigmoid per the CondConv paper.
+        routing = nn.Dense(
+            self.num_experts, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="route",
+        )(cov)
+        gates = jax.nn.sigmoid(routing)
+
+        x = x.astype(self.dtype)
+        # Mix kernels per sample, run one grouped conv (groups = batch).
+        kern = jnp.einsum(
+            "be,e...->b...", gates.astype(self.dtype), experts.astype(self.dtype)
+        )  # [B, Cout, Cin, kd, kh, kw]
+        kern = kern.reshape((b * self.out_channels, in_ch) + kernel_size)
+        xg = x.reshape((1, b * in_ch) + x.shape[2:])  # per-sample channel groups
+        if self.is_transposed:
+            y = conv3d(
+                xg, kern, (1, 1, 1),
+                transposed_padding(kernel_size, strides),
+                groups=b, lhs_dilation=strides,
+            )
+        else:
+            y = conv3d(xg, kern, strides, same_padding(kernel_size), groups=b)
+        y = y.reshape((b, self.out_channels) + y.shape[2:])
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
+            )
+            y = y + bias.astype(y.dtype).reshape(1, -1, 1, 1, 1)
+        y = y.astype(self.dtype)
+        if self.conv_only:
+            return y
+        y = Norm(kind=self.norm, axis_name=self.axis_name,
+                 param_dtype=self.param_dtype, name="norm")(y, train=train)
+        if self.film:
+            film = nn.Dense(
+                2 * self.out_channels, dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                kernel_init=nn.initializers.zeros, name="film",
+            )(cov)
+            scale, shift = jnp.split(film, 2, axis=-1)
+            scale = (1.0 + scale)[:, :, None, None, None].astype(y.dtype)
+            shift = shift[:, :, None, None, None].astype(y.dtype)
+            y = y * scale + shift
+        if self.dropout > 0.0:
+            y = nn.Dropout(rate=self.dropout, deterministic=not train)(y)
+        if self.act == "prelu":
+            y = PReLU(param_dtype=self.param_dtype, name="prelu")(y)
+        else:
+            fn = get_act(self.act)
+            if fn is not None:
+                y = fn(y)
+        return y
+
+
+# ---------------------------------------------------------------------------
+# composite blocks
+# ---------------------------------------------------------------------------
+
+
+class ConvBlock(nn.Module):
+    """attentionunet.ConvBlock: Convolution(stride s) + Convolution(stride 1),
+    ReLU activations. Conditional variant = CondConvBlock semantics (covariate
+    routed into both convs)."""
+
+    out_channels: int
+    strides: Union[int, Sequence[int]] = 1
+    kernel_size: Union[int, Sequence[int]] = 3
+    dropout: float = 0.0
+    conditional: bool = False
+    num_covars: int = 5
+    num_experts: int = 8
+    film: bool = True
+    norm: str = "instance"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        covariate: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        common = dict(
+            kernel_size=self.kernel_size,
+            act="relu",
+            norm=self.norm,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
+        )
+        if self.conditional:
+            x = CondConvolution(
+                out_channels=self.out_channels, strides=self.strides,
+                num_covars=self.num_covars, num_experts=self.num_experts,
+                film=self.film, name="conv0", **common,
+            )(x, covariate, train=train)
+            x = CondConvolution(
+                out_channels=self.out_channels, strides=1,
+                num_covars=self.num_covars, num_experts=self.num_experts,
+                film=self.film, name="conv1", **common,
+            )(x, covariate, train=train)
+        else:
+            x = Convolution(
+                out_channels=self.out_channels, strides=self.strides,
+                name="conv0", **common,
+            )(x, train=train)
+            x = Convolution(
+                out_channels=self.out_channels, strides=1, name="conv1", **common,
+            )(x, train=train)
+        return x
+
+
+class AttentionGate(nn.Module):
+    """Additive attention gate (`ObservableAttentionBlock`,
+    `attn_unet_data_parallel.py:134-150`):
+
+        psi = sigmoid(norm(conv1x1(relu(norm(conv1x1(g)) + norm(conv1x1(x))))))
+        out = x * psi
+
+    Returns (out, psi) so attention maps are a first-class debug output
+    (SURVEY §5 requires attention-coefficient capture)."""
+
+    f_int: int
+    norm: str = "instance"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, g: jnp.ndarray, x: jnp.ndarray, train: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        common = dict(
+            kernel_size=1, strides=1, act=None, norm=self.norm,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
+        )
+        g1 = Convolution(out_channels=self.f_int, name="W_g", **common)(g, train=train)
+        x1 = Convolution(out_channels=self.f_int, name="W_x", **common)(x, train=train)
+        a = jax.nn.relu(g1 + x1)
+        psi = Convolution(out_channels=1, name="psi", **common)(a, train=train)
+        psi = jax.nn.sigmoid(psi.astype(jnp.float32)).astype(x.dtype)
+        return x * psi, psi
+
+
+class UpBlock(nn.Module):
+    """Transposed-conv upsampling (`UpBlock`, ref :120-131); conditional path
+    swaps in the expert-mixture transposed conv (`CondConvolution(
+    is_transposed=True)`)."""
+
+    out_channels: int
+    strides: Union[int, Sequence[int]] = 2
+    kernel_size: Union[int, Sequence[int]] = 3
+    dropout: float = 0.0
+    conditional: bool = False
+    num_covars: int = 6
+    num_experts: int = 8
+    film: bool = True
+    norm: str = "instance"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        covariate: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> jnp.ndarray:
+        common = dict(
+            kernel_size=self.kernel_size, strides=self.strides, act="relu",
+            norm=self.norm, dropout=self.dropout, is_transposed=True,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            axis_name=self.axis_name,
+        )
+        if self.conditional:
+            return CondConvolution(
+                out_channels=self.out_channels, num_covars=self.num_covars,
+                num_experts=self.num_experts, film=self.film, name="up", **common,
+            )(x, covariate, train=train)
+        return Convolution(out_channels=self.out_channels, name="up", **common)(
+            x, train=train
+        )
+
+
+class StackedFusionConvLayers(nn.Module):
+    """N-conv LeakyReLU fusion stack (`attn_unet_data_parallel.py:480-501`):
+    in->bottleneck, (num_convs-2) x bottleneck->bottleneck, bottleneck->out,
+    each a Convolution with LeakyReLU(1e-2) activation."""
+
+    bottleneck_channels: int
+    out_channels: int
+    num_convs: int = 3
+    norm: str = "instance"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        widths = (
+            [self.bottleneck_channels] * (self.num_convs - 1) + [self.out_channels]
+        )
+        for i, w in enumerate(widths):
+            x = Convolution(
+                out_channels=w, act="leakyrelu", norm=self.norm,
+                dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv{i}",
+            )(x, train=train)
+        return x
+
+
+class ProjectionHead(nn.Module):
+    """Per-level contrastive embedding (`ProjectionHead`, ref :436-454):
+    1x1x1 ConvBlock to one channel -> flatten -> ReLU."""
+
+    norm: str = "instance"
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        x = ConvBlock(
+            out_channels=1, kernel_size=1, norm=self.norm, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="conv",
+        )(x, train=train)
+        x = x.reshape(x.shape[0], -1)
+        return jax.nn.relu(x.astype(jnp.float32))

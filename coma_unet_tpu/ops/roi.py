@@ -1,0 +1,123 @@
+"""ROI (region-of-interest) reductions as fused device ops.
+
+The reference computes every per-ROI quantity with a Python loop that builds a
+fresh 128^3 mask per ROI per batch (`criterions.py:184-200`,
+`attn_unet_data_parallel.py:49-60,637-644,1369-1395`) — 36 x 2M element
+scans per call site, with device->host syncs in between. Here the ROI label
+volume is compacted once to ids in [0, R] via a lookup table and every
+reduction becomes a single `segment_sum` (or gather, for painting) inside jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# FreeSurfer aparc+aseg labels go up to 2035 in the reference's 36-ROI set;
+# round the LUT up to a power of two.
+_LUT_SIZE = 4096
+
+
+def make_roi_lut(roi_indices: Sequence[int], lut_size: int = _LUT_SIZE) -> jnp.ndarray:
+    """Build an int32 lookup table mapping a raw ROI label to a compact id.
+
+    Background / unlisted labels map to 0; `roi_indices[i]` maps to ``i + 1``.
+    """
+    lut = np.zeros((lut_size,), dtype=np.int32)
+    for i, idx in enumerate(roi_indices):
+        if not 0 <= idx < lut_size:
+            raise ValueError(f"ROI label {idx} out of LUT range [0,{lut_size})")
+        lut[idx] = i + 1
+    return jnp.asarray(lut)
+
+
+def compact_roi(roi: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Map a raw ROI label volume to compact ids in [0, R] (0 = background)."""
+    idx = jnp.clip(roi.astype(jnp.int32), 0, lut.shape[0] - 1)
+    return jnp.take(lut, idx)
+
+
+@partial(jax.jit, static_argnames=("num_rois",))
+def roi_reduce(values: jnp.ndarray, compact: jnp.ndarray, num_rois: int) -> jnp.ndarray:
+    """Per-sample, per-ROI sums of `values`.
+
+    Args:
+      values: [B, ...spatial...] float array.
+      compact: [B, ...spatial...] int32 compact ROI ids in [0, num_rois].
+      num_rois: R (number of foreground ROIs; ids run 0..R).
+
+    Returns:
+      [B, R + 1] sums; column 0 is background.
+    """
+    b = values.shape[0]
+    nseg = num_rois + 1
+    vals = values.reshape(b, -1)
+    segs = compact.reshape(b, -1)
+    offset = jnp.arange(b, dtype=jnp.int32)[:, None] * nseg
+    flat = jax.ops.segment_sum(
+        vals.reshape(-1),
+        (segs + offset).reshape(-1),
+        num_segments=b * nseg,
+        indices_are_sorted=False,
+    )
+    return flat.reshape(b, nseg)
+
+
+def roi_sums(values: jnp.ndarray, compact: jnp.ndarray, num_rois: int) -> jnp.ndarray:
+    """Per-sample per-ROI sums over the foreground ROIs only: [B, R]."""
+    return roi_reduce(values, compact, num_rois)[:, 1:]
+
+
+def roi_counts(compact: jnp.ndarray, num_rois: int) -> jnp.ndarray:
+    """Per-sample per-ROI voxel counts: [B, R] (float32)."""
+    ones = jnp.ones(compact.shape, dtype=jnp.float32)
+    return roi_sums(ones, compact, num_rois)
+
+
+def paint_roi_values(
+    compact: jnp.ndarray,
+    per_roi_values: jnp.ndarray,
+    background: float = 0.0,
+) -> jnp.ndarray:
+    """Paint per-ROI scalars onto the volume (vectorized `roi_pred_dicts`
+    painting from `attn_unet_data_parallel.py:641-644`).
+
+    Args:
+      compact: [B, ...spatial...] compact ids in [0, R].
+      per_roi_values: [B, R] value per foreground ROI.
+      background: value for id 0.
+
+    Returns:
+      [B, ...spatial...] float volume.
+    """
+    b, r = per_roi_values.shape
+    table = jnp.concatenate(
+        [jnp.full((b, 1), background, dtype=per_roi_values.dtype), per_roi_values],
+        axis=1,
+    )  # [B, R+1]
+    return jnp.take_along_axis(
+        table, compact.reshape(b, -1), axis=1
+    ).reshape(compact.shape)
+
+
+def roi_weight_mask(
+    compact: jnp.ndarray,
+    roi_weights: jnp.ndarray,
+    background: float = 1.0,
+) -> jnp.ndarray:
+    """Weight volume: `background` everywhere, `roi_weights[i]` inside ROI i.
+
+    Mirrors the mask built at `criterions.py:182-185` (ones background) and,
+    with ``background=0``, the `voxel_wise=False` RoiMSE variant's zeros
+    background.
+    """
+    r = roi_weights.shape[-1]
+    table = jnp.concatenate(
+        [jnp.asarray([background], dtype=roi_weights.dtype), roi_weights]
+    )  # [R+1]
+    idx = jnp.clip(compact, 0, r)
+    return jnp.take(table, idx)

@@ -1,0 +1,7 @@
+from coma_unet_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch,
+    make_sharded_train_step,
+)

@@ -1,0 +1,195 @@
+"""Device-mesh parallelism.
+
+The reference imports torch `DataParallel` but never enables it
+(`attn_unet_data_parallel.py:32`, wrap sites commented at
+`validation.py:268-269`); its parallelism story is aspirational. Here data
+parallelism is real and TPU-native, expressed as explicit SPMD:
+
+  * TRAINING — `jax.shard_map` over a `Mesh(('data',))`: each shard runs the
+    full model on its local batch slice (the expert-mixture CondConv folds
+    batch into conv feature groups, so the per-device program must see the
+    local batch — explicit SPMD, not GSPMD sharding propagation), gradients
+    are `psum` over ICI, and the batch-coupled RnC loss stays *globally
+    exact* by all-gathering the (tiny) projection embeddings before ranking.
+  * INFERENCE — GSPMD `jit` with the volume's spatial dims sharded across the
+    mesh (XLA inserts conv halo exchanges automatically); per-device batch of
+    1 makes the conditional conv a plain conv, which partitions fine.
+
+The same code runs on one chip, a v5e-8 slice, or a forced-host-device CPU
+mesh for tests; multi-host DCN extends through the same mesh abstraction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from coma_unet_tpu.config import LossConfig
+
+
+def make_mesh(
+    data: int = -1,
+    spatial: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Mesh over ('data', 'spatial'). data=-1 uses all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        assert n % spatial == 0
+        data = n // spatial
+    if data * spatial > n:
+        raise ValueError(f"mesh {data}x{spatial} > {n} devices")
+    dev_array = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(dev_array, ("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, spatial_axis: Optional[int] = None):
+    spec = [None] * ndim
+    spec[0] = "data"
+    if spatial_axis is not None and mesh.shape["spatial"] > 1 and ndim > spatial_axis:
+        spec[spatial_axis] = "spatial"
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicate_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh, spatial: bool = False):
+    """Place a host batch dict onto the mesh: batch dim over 'data' (and the
+    volume depth over 'spatial' when requested, for GSPMD inference)."""
+
+    def _put(x):
+        x = jnp.asarray(x)
+        # NCDHW: depth is axis 2 for 5-d volumes, axis 1 for [B, D, H, W] ids
+        ax = (2 if x.ndim == 5 else 1) if (spatial and x.ndim >= 4) else None
+        return jax.device_put(x, batch_sharding(mesh, x.ndim, ax))
+
+    return {k: _put(v) for k, v in batch.items()}
+
+
+def replicate_state(state, mesh: Mesh):
+    return jax.device_put(state, replicate_sharding(mesh))
+
+
+def _batch_specs(batch: Dict[str, Any]) -> Dict[str, P]:
+    return {k: P("data") for k in batch}
+
+
+def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
+                            donate: bool = True):
+    """DP train step via shard_map; numerically identical to the single-device
+    `train.step.make_train_step` on the concatenated batch.
+
+    Per-shard: forward + composite loss with
+      * gen loss summed locally then `psum` over 'data';
+      * RnC computed on `all_gather`ed final projections + labels (exact
+        global ranking; the embeddings are [B, latent] — bytes, not volumes);
+      * grads `psum` over 'data' (total-loss gradient, matching the
+        reference's sum-reduced objective).
+    """
+    from coma_unet_tpu.losses.contrastive import rnc_loss, truncated_cds
+    from coma_unet_tpu.losses.roi_losses import roi_mse
+    from coma_unet_tpu.train.step import _apply, optax_global_norm
+
+    cfg = loss_config
+    n_shards = mesh.shape["data"]
+
+    # Gradient-correctness note: each shard differentiates a *local*
+    # objective whose shard-coupled terms (the globally-gathered RnC / the
+    # global triplet mean) are scaled by 1/n_shards. Every shard computes the
+    # identical coupled value, so after `psum(grads)` the coupled term's
+    # gradient is counted exactly once and the summed gen term exactly once —
+    # psum(local_obj) is then exactly the reference's total loss.
+    def local_loss(params, batch_stats, batch, roi_weights, rng):
+        outs, new_bs = _apply(model, params, batch_stats, batch, "", True, rng, True)
+        gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"], roi_weights,
+                      reduction=None)
+        obj = cfg.gen_weight * jnp.sum(gen)
+        if cfg.rnc:
+            feats = jax.lax.all_gather(
+                outs.projections[-1], "data", axis=0, tiled=True
+            )
+            labels = jax.lax.all_gather(batch["covars"], "data", axis=0, tiled=True)
+            tcds_full = cfg.ds_reg_weight * rnc_loss(
+                feats, labels, cfg.rnc_temperature
+            )
+        else:
+            pos_outs, new_bs = _apply(model, params, new_bs, batch, "pos_", True, rng, True)
+            neg_outs, new_bs = _apply(model, params, new_bs, batch, "neg_", True, rng, True)
+            local = truncated_cds(outs.projections, pos_outs.projections,
+                                  neg_outs.projections, cfg.cds_weights,
+                                  margin=cfg.triplet_margin)
+            # global mean over equal-size shards == mean of shard means; keep
+            # it collective-free in the grad path (see note above).
+            tcds_full = cfg.ds_reg_weight * local
+        obj = obj + tcds_full / n_shards
+        aux = {
+            "gen_loss": gen,
+            "tcds_loss": tcds_full if cfg.rnc else tcds_full / n_shards,
+            "pred_space_loss": jnp.asarray(0.0, jnp.float32),
+            "batch_stats": new_bs,
+        }
+        return obj, aux
+
+    state_spec = P()  # replicated
+
+    def spmd_step(state, batch, roi_weights, rng):
+        (obj, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
+            state.params, state.batch_stats, batch, roi_weights, rng
+        )
+        grads = jax.lax.psum(grads, "data")
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=aux.pop("batch_stats")
+        )
+        aux["loss"] = jax.lax.psum(jax.lax.stop_gradient(obj), "data")
+        aux["gen_loss"] = jax.lax.all_gather(
+            aux["gen_loss"], "data", axis=0, tiled=True
+        )  # [B_total], replicated
+        if not cfg.rnc:
+            aux["tcds_loss"] = jax.lax.psum(
+                jax.lax.stop_gradient(aux["tcds_loss"]), "data"
+            )
+        aux["grad_norm"] = optax_global_norm(grads)
+        return new_state, aux
+
+    def step(state, batch, roi_weights, rng):
+        shard = jax.shard_map(
+            spmd_step,
+            mesh=mesh,
+            in_specs=(state_spec, _batch_specs(batch), P(), P()),
+            out_specs=(state_spec, P()),
+            check_vma=False,
+        )
+        return shard(state, batch, roi_weights, rng)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_spatial_infer_fn(model, mesh: Mesh):
+    """GSPMD full-volume inference with the depth dim sharded over the whole
+    mesh (both axes). Use batch=1 per call; XLA partitions the convs with
+    halo exchange over ICI."""
+
+    @jax.jit
+    def infer(params_batch_stats, mri, covars, roi_loc, roi_std, roi_compact):
+        params, batch_stats = params_batch_stats
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mri = jax.lax.with_sharding_constraint(
+            mri, NamedSharding(mesh, P(None, None, "data", "spatial", None))
+        )
+        outs = model.apply(
+            variables, mri, covars, roi_loc, roi_std, roi_compact,
+            train=False, with_projections=False,
+        )
+        return outs.out
+
+    return infer

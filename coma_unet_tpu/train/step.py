@@ -1,0 +1,143 @@
+"""Jitted train / eval steps.
+
+The reference's per-batch work (`train_dp` inner loop,
+`attn_unet_data_parallel.py:779-910`) — forward, composite loss, backward,
+AdamW update — is one compiled XLA program here. Batches are dict pytrees:
+
+    mri         [B, D, H, W, 1]   float
+    tau         [B, D, H, W, 1]   float
+    roi_compact [B, D, H, W]      int32 ids in [0, R]
+    covars      [B, K]            float  ([abeta, age, sex, edu, cog, meta])
+    abeta       [B]               float
+    roi_loc     [B, R]            float  (predicted per-ROI tau mean)
+    roi_std     [B, R]            float  (predicted per-ROI tau std)
+    (+ pos_*/neg_* mirrors of mri/covars/roi_loc/roi_std/roi_compact when the
+     tCDS triplet path is active, i.e. loss.rnc == False)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coma_unet_tpu.config import LossConfig
+from coma_unet_tpu.losses.composite import GenerativeContrastiveLoss
+from coma_unet_tpu.metrics.roi import roi_metrics
+from coma_unet_tpu.metrics.voxel import voxel_metrics
+from coma_unet_tpu.train.state import TrainState
+
+
+def _apply(model, params, batch_stats, batch, prefix, train, rng, with_projections):
+    variables = {"params": params}
+    kwargs: Dict[str, Any] = dict(train=train, with_projections=with_projections)
+    if rng is not None:
+        kwargs["rngs"] = {"dropout": rng}
+    has_bn = bool(batch_stats)
+    if has_bn:
+        variables["batch_stats"] = batch_stats
+        kwargs["mutable"] = ["batch_stats"] if train else []
+    p = prefix
+    result = model.apply(
+        variables,
+        batch[p + "mri"],
+        batch[p + "covars"],
+        batch.get(p + "roi_loc"),
+        batch.get(p + "roi_std"),
+        batch.get(p + "roi_compact"),
+        **kwargs,
+    )
+    if has_bn and train:
+        outs, new_vars = result
+        return outs, new_vars.get("batch_stats", {})
+    return result, batch_stats
+
+
+def make_train_step(
+    model,
+    loss_config: LossConfig,
+    donate: bool = True,
+) -> Callable:
+    """Returns train_step(state, batch, roi_weights, rng) -> (state, metrics)."""
+    criterion = GenerativeContrastiveLoss(loss_config)
+    rnc = loss_config.rnc
+
+    def loss_fn(params, batch_stats, batch, roi_weights, rng):
+        outs, new_bs = _apply(
+            model, params, batch_stats, batch, "", True, rng, True
+        )
+        kwargs: Dict[str, Any] = {}
+        if rnc:
+            # RnC pseudo-batch (`attn_unet_data_parallel.py:833-845`): features
+            # are the final-level projections; labels the covariate vectors.
+            kwargs["rnc_features"] = outs.projections[-1]
+            kwargs["rnc_labels"] = batch["covars"]
+        else:
+            pos_outs, new_bs = _apply(
+                model, params, new_bs, batch, "pos_", True, rng, True
+            )
+            neg_outs, new_bs = _apply(
+                model, params, new_bs, batch, "neg_", True, rng, True
+            )
+            kwargs["anchor_projs"] = outs.projections
+            kwargs["pos_projs"] = pos_outs.projections
+            kwargs["neg_projs"] = neg_outs.projections
+            kwargs["final_reprs"] = (
+                outs.final_projection,
+                pos_outs.final_projection,
+                neg_outs.final_projection,
+            )
+        losses = criterion(
+            outs.out, batch["tau"], batch["roi_compact"], roi_weights, **kwargs
+        )
+        aux = {
+            "loss": losses.total,
+            "gen_loss": losses.gen,          # per-sample [B]
+            "pred_space_loss": losses.pred_space,
+            "tcds_loss": losses.tcds,
+            "batch_stats": new_bs,
+        }
+        return losses.total, aux
+
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        roi_weights: jnp.ndarray,
+        rng: jax.Array,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, roi_weights, rng
+        )
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=aux.pop("batch_stats")
+        )
+        aux["grad_norm"] = optax_global_norm(grads)
+        return new_state, aux
+
+    return train_step
+
+
+def optax_global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
+
+
+def make_eval_step(model, num_rois: int) -> Callable:
+    """Returns eval_step(state, batch) -> (pred, vox_metrics, roi_metrics) —
+    the device half of `contrastive_test` (`attn_unet_data_parallel.py:
+    1197-1293`)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        outs, _ = _apply(
+            model, state.params, state.batch_stats, batch, "", False, None, False
+        )
+        pred = outs.out
+        vox = voxel_metrics(pred, batch["tau"])
+        roi = roi_metrics(pred, batch["tau"], batch["roi_compact"], num_rois)
+        return pred, vox, roi
+
+    return eval_step

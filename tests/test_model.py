@@ -1,0 +1,121 @@
+"""Model shape / gradient / conditioning tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coma_unet_tpu.models import ContraAttnUNet
+from coma_unet_tpu.models.blocks import CondConvolution, Convolution
+from tests.conftest import make_batch
+
+
+def test_forward_shapes(tiny_model_config, rng, tiny_batch):
+    model = ContraAttnUNet(tiny_model_config)
+    b = tiny_batch
+    params = model.init(rng, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                        b["roi_compact"], train=False)
+    outs = model.apply(params, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                       b["roi_compact"], train=False)
+    assert outs.out.shape == (2, 1, 16, 16, 16)
+    assert (np.asarray(outs.out) >= 0).all()  # final ReLU
+    assert len(outs.projections) == 3
+    # per-level projection dims: s^3 at full res, (s/2)^3, (s/4)^3
+    assert outs.projections[0].shape == (2, 16 ** 3)
+    assert outs.projections[1].shape == (2, 8 ** 3)
+    assert outs.projections[2].shape == (2, 4 ** 3)
+    assert outs.final_projection.shape == (2, 32)
+    # encoder features: top level first, halving resolution
+    assert [e.shape for e in outs.encoder] == [
+        (2, 4, 16, 16, 16), (2, 8, 8, 8, 8), (2, 16, 4, 4, 4)
+    ]
+    # attention maps for the two gated levels
+    assert [a.shape for a in outs.attention] == [
+        (2, 1, 16, 16, 16), (2, 1, 8, 8, 8)
+    ]
+
+
+def test_covariates_change_output(tiny_model_config, rng, tiny_batch):
+    """The CondConv routing + FiLM must actually condition the output."""
+    model = ContraAttnUNet(tiny_model_config)
+    b = tiny_batch
+    params = model.init(rng, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                        b["roi_compact"], train=False)
+    out1 = model.apply(params, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                       b["roi_compact"], train=False).out
+    cov2 = b["covars"] + 1.5
+    out2 = model.apply(params, b["mri"], cov2, b["roi_loc"], b["roi_std"],
+                       b["roi_compact"], train=False).out
+    assert float(jnp.abs(out1 - out2).max()) > 1e-6
+
+
+def test_abeta_switches_prompt(tiny_model_config, rng, tiny_batch):
+    """covariate[..., 0] == 1 selects the positive dynamic prompt
+    (`attn_unet_data_parallel.py:638-639`)."""
+    model = ContraAttnUNet(tiny_model_config)
+    b = tiny_batch
+    params = model.init(rng, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                        b["roi_compact"], train=False)
+    cov_pos = b["covars"].at[:, 0].set(1.0)
+    cov_neg = b["covars"].at[:, 0].set(0.0)
+    out_pos = model.apply(params, b["mri"], cov_pos, b["roi_loc"], b["roi_std"],
+                          b["roi_compact"], train=False).out
+    out_neg = model.apply(params, b["mri"], cov_neg, b["roi_loc"], b["roi_std"],
+                          b["roi_compact"], train=False).out
+    assert float(jnp.abs(out_pos - out_neg).max()) > 1e-6
+
+
+def test_grads_flow(tiny_model_config, rng, tiny_batch):
+    model = ContraAttnUNet(tiny_model_config)
+    b = tiny_batch
+    params = model.init(rng, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                        b["roi_compact"], train=True)
+
+    def loss(p):
+        outs = model.apply(p, b["mri"], b["covars"], b["roi_loc"], b["roi_std"],
+                           b["roi_compact"], train=True)
+        return jnp.mean(jnp.square(outs.out - b["tau"])) + 1e-3 * jnp.mean(
+            outs.projections[-1]
+        )
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    nonzero = sum(float(jnp.abs(g).sum()) > 0 for g in leaves)
+    assert nonzero > len(leaves) * 0.5
+
+
+def test_condconv_expert_mixture_matches_per_sample_loop(rng):
+    """Grouped-conv CondConv == looping samples with their mixed kernels."""
+    mod = CondConvolution(
+        out_channels=3, kernel_size=3, strides=1, conv_only=True,
+        num_experts=4, num_covars=5, dtype=jnp.float32,
+    )
+    x = jax.random.normal(rng, (3, 2, 6, 6, 6))
+    cov = jax.random.normal(jax.random.PRNGKey(1), (3, 5))
+    params = mod.init(rng, x, cov)
+    batched = mod.apply(params, x, cov)
+    for i in range(3):
+        single = mod.apply(params, x[i : i + 1], cov[i : i + 1])
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single[0]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_transposed_conv_doubles_size(rng):
+    mod = Convolution(out_channels=2, kernel_size=3, strides=2,
+                      is_transposed=True, dtype=jnp.float32)
+    x = jax.random.normal(rng, (1, 3, 5, 5, 5))
+    params = mod.init(rng, x)
+    y = mod.apply(params, x)
+    assert y.shape == (1, 2, 10, 10, 10)
+
+
+def test_transposed_condconv_doubles_size(rng):
+    mod = CondConvolution(out_channels=2, kernel_size=3, strides=2,
+                          is_transposed=True, num_covars=6, dtype=jnp.float32)
+    x = jax.random.normal(rng, (2, 3, 5, 5, 5))
+    cov = jax.random.normal(rng, (2, 6))
+    params = mod.init(rng, x, cov)
+    y = mod.apply(params, x, cov)
+    assert y.shape == (2, 2, 10, 10, 10)
