@@ -1,0 +1,116 @@
+"""Benchmark: full-volume MRI -> tau-PET synthesis latency on the flagship
+ContraAttnUNet (128^3, conditional + modulator), the BASELINE.md north-star
+metric (<2 s p50 target; the PyTorch reference publishes no numbers, so
+vs_baseline is measured against that 2 s target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+plus auxiliary metrics on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _make_batch
+    from coma_unet_tpu.config import LossConfig, ModelConfig
+    from coma_unet_tpu.models import ContraAttnUNet
+    from coma_unet_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = ModelConfig()
+    model = ContraAttnUNet(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, b=2, s=128)
+
+    t0 = time.time()
+    variables = model.init(
+        jax.random.PRNGKey(0), batch["mri"], batch["covars"], batch["roi_loc"],
+        batch["roi_std"], batch["roi_compact"], train=False,
+    )
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(variables, mri, covars, roi_loc, roi_std, roi_compact):
+        return model.apply(
+            variables, mri, covars, roi_loc, roi_std, roi_compact,
+            train=False, with_projections=False,
+        ).out
+
+    args = (variables, batch["mri"], batch["covars"], batch["roi_loc"],
+            batch["roi_std"], batch["roi_compact"])
+
+    t0 = time.time()
+    jax.block_until_ready(forward(*args))
+    print(f"forward compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    lat = []
+    for _ in range(10):
+        t0 = time.time()
+        jax.block_until_ready(forward(*args))
+        lat.append(time.time() - t0)
+    # batch of 2 volumes per call -> per-volume latency
+    per_call = float(np.percentile(lat, 50))
+    p50_volume_ms = per_call / 2 * 1000.0
+    vols_per_sec = 2.0 / per_call
+    print(
+        f"p50 batch-2 forward: {per_call*1000:.1f} ms; "
+        f"{vols_per_sec:.2f} volumes/s/chip", file=sys.stderr,
+    )
+
+    # train step throughput (auxiliary)
+    try:
+        tx = make_optimizer(1e-3)
+        state = create_train_state(
+            model, tx, jax.random.PRNGKey(0),
+            (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+             batch["roi_compact"]),
+            {"train": True},
+        )
+        step = make_train_step(model, LossConfig(), donate=False)
+        roi_w = jnp.full((36,), 225.0)
+        t0 = time.time()
+        _, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+        jax.block_until_ready(aux["loss"])
+        print(f"train step compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+        ts = []
+        for i in range(5):
+            t0 = time.time()
+            state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
+            jax.block_until_ready(aux["loss"])
+            ts.append(time.time() - t0)
+        print(
+            f"p50 train step (b=2): {np.percentile(ts,50)*1000:.1f} ms "
+            f"({2/np.percentile(ts,50):.2f} samples/s/chip), "
+            f"loss={float(aux['loss']):.3f}", file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 — bench must still emit its line
+        print(f"train-step bench failed: {e}", file=sys.stderr)
+
+    # Headline: p50 full-volume synthesis latency vs the 2 s north-star.
+    print(json.dumps({
+        "metric": "volume_synthesis_p50_latency",
+        "value": round(p50_volume_ms, 2),
+        "unit": "ms/volume",
+        "vs_baseline": round(2000.0 / p50_volume_ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,327 @@
+"""Command-line interface.
+
+Mirrors the reference's argparse surface (`validation.py:680-692`,
+`validation_combined_dataset.py:346-359`) — `-save_path, -model_type,
+-batch_size, -resume_training, -checkpoint_path, -description,
+-template_space, -covariates, -smoothing, -rnc, -cross_val` — plus the knobs
+the reference hardcodes (epochs, lr, folds, mesh shape). Subcommands:
+
+  train     — `volume_validation` / `cross_validation` / holdout training
+              (the `run.sh` -> `validation.py` live path)
+  validate  — `contrastive_test` over a test lookup (metrics + CSVs)
+  infer     — MRI-only synthesis (`VolumeDataset_Inference` path), writing
+              NIfTI outputs, optional sliding window for >patch volumes
+
+Results-dir layout matches the reference: <save>/checkpoints/,
+<save>/validation_metric_results/, <save>/<epoch>_output_samples/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="coma-unet-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("-save_path", default="results")
+        sp.add_argument("-model_type", default="ContraAttnUNET",
+                        choices=["ContraAttnUNET", "AttnUNET", "UNET"])
+        sp.add_argument("-batch_size", type=int, default=2)
+        sp.add_argument("-description", default="")
+        sp.add_argument("-template_space", action="store_true")
+        sp.add_argument("-covariates", action="store_true", default=True)
+        sp.add_argument("-smoothing", action="store_true")
+        sp.add_argument("-rnc", action="store_true", default=True)
+        sp.add_argument("-checkpoint_path", default=None)
+        sp.add_argument("--config", default=None,
+                        help="ExperimentConfig JSON file (overrides flags)")
+        sp.add_argument("--splits_dir", default="training_folds")
+        sp.add_argument("--covariate_csv", default=None)
+        sp.add_argument("--quartile_csv", default=None)
+        sp.add_argument("--predictions_json", default=None)
+        sp.add_argument("--fold", type=int, default=4)
+        sp.add_argument("--data_parallel", type=int, default=1)
+        sp.add_argument("--norm", default="instance")
+        sp.add_argument("--compute_dtype", default="bfloat16")
+
+    t = sub.add_parser("train", help="train a model on fold lookups")
+    common(t)
+    t.add_argument("-resume_training", action="store_true")
+    t.add_argument("-cross_val", action="store_true")
+    t.add_argument("--epochs", type=int, default=61)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--combined", action="store_true",
+                   help="combined ADNI+A4 flat dataset (lr default 1e-4)")
+
+    v = sub.add_parser("validate", help="run the evaluation suite")
+    common(v)
+    v.add_argument("--test_lookup", required=True)
+
+    i = sub.add_parser("infer", help="MRI-only tau-PET synthesis")
+    common(i)
+    i.add_argument("--input_lookup", required=True,
+                   help="CSV with MRI (+roi) path columns")
+    i.add_argument("--out_dir", default="synth_out")
+    i.add_argument("--sliding_window", action="store_true")
+    i.add_argument("--patch_size", type=int, default=128)
+    i.add_argument("--overlap", type=float, default=0.25)
+    return p
+
+
+def _experiment_config(args):
+    from coma_unet_tpu.config import (
+        DataConfig, ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+    )
+
+    if args.config:
+        with open(args.config) as f:
+            cfg = ExperimentConfig.from_json(f.read())
+        # data-source flags overlay the config file
+        data_overrides = {}
+        for flag, field_name in (
+            ("splits_dir", "splits_dir"), ("covariate_csv", "covariate_csv"),
+            ("quartile_csv", "quartile_csv"), ("fold", "fold"),
+        ):
+            v = getattr(args, flag, None)
+            if v not in (None, "", "training_folds", 4):
+                data_overrides[field_name] = v
+        if data_overrides:
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, **data_overrides)
+            )
+        if getattr(args, "save_path", "results") != "results":
+            cfg = dataclasses.replace(cfg, save_path=args.save_path)
+        return cfg
+    model = ModelConfig(
+        conditional=args.covariates,
+        norm=args.norm,
+        compute_dtype=args.compute_dtype,
+        with_modulator=args.model_type == "ContraAttnUNET",
+    )
+    loss = LossConfig(
+        rnc=args.rnc,
+        roi_weight=1.0 if args.template_space else 225.0,
+    )
+    train_cfg = TrainConfig(
+        epochs=getattr(args, "epochs", 61),
+        lr=getattr(args, "lr", 1e-3) if not getattr(args, "combined", False)
+        else 1e-4,
+        batch_size=args.batch_size,
+        data_parallel=args.data_parallel,
+    )
+    data = DataConfig(
+        splits_dir=args.splits_dir,
+        covariate_csv=args.covariate_csv or "",
+        quartile_csv=args.quartile_csv or "",
+        fold=args.fold,
+        template_space=args.template_space,
+        smoothing=args.smoothing,
+    )
+    return ExperimentConfig(
+        model=model, loss=loss, train=train_cfg, data=data,
+        save_path=args.save_path, description=args.description,
+        model_type=args.model_type,
+    )
+
+
+def _build_model(config):
+    from coma_unet_tpu.models import ContraAttnUNet
+
+    return ContraAttnUNet(config.model)
+
+
+def _build_loaders(args, config):
+    from coma_unet_tpu.data import (
+        CombinedVolumeDataset, CovariateTable, DataLoader,
+        PredictedMetaTauDataset, PredictionTable,
+    )
+    from coma_unet_tpu.data.covariates import QuartileTable
+
+    cov = CovariateTable(config.data.covariate_csv)
+    quart = (
+        QuartileTable(config.data.quartile_csv)
+        if config.data.quartile_csv else None
+    )
+    preds = (
+        PredictionTable(args.predictions_json)
+        if getattr(args, "predictions_json", None) else None
+    )
+    k = config.data.fold
+    train_csv = os.path.join(config.data.splits_dir, f"training_lookup_{k}.csv")
+    test_csv = os.path.join(config.data.splits_dir, f"test_lookup_{k}.csv")
+    ds_kwargs = dict(
+        template_space=config.data.template_space,
+        smoothing=config.data.smoothing,
+        pad_dims=config.data.volume_shape,
+    )
+    if getattr(args, "combined", False):
+        train_ds = CombinedVolumeDataset(train_csv, cov, meta_tau_table=preds,
+                                         **ds_kwargs)
+        test_ds = CombinedVolumeDataset(test_csv, cov, meta_tau_table=preds,
+                                        **ds_kwargs)
+    else:
+        train_ds = PredictedMetaTauDataset(train_csv, cov, quart,
+                                           meta_tau_table=preds, **ds_kwargs)
+        test_ds = PredictedMetaTauDataset(test_csv, cov, quart,
+                                          meta_tau_table=preds, **ds_kwargs)
+    train_loader = DataLoader(
+        train_ds, config.train.batch_size, predictions=preds, shuffle=True,
+        with_triplets=not config.loss.rnc, drop_last=False,
+    )
+    test_loader = DataLoader(test_ds, config.train.batch_size,
+                             predictions=preds)
+    return train_loader, test_loader
+
+
+def cmd_train(args) -> int:
+    from coma_unet_tpu.train.loop import train
+    from coma_unet_tpu.utils.logging import setup_logging
+
+    config = _experiment_config(args)
+    run_dir = os.path.join(
+        config.save_path, time.strftime("%Y-%m-%d_%H-%M-%S")
+    )
+    os.makedirs(run_dir, exist_ok=True)
+    setup_logging(os.path.join(run_dir, f"train_{config.model_type}.log"))
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(config.to_json())
+    model = _build_model(config)
+    train_loader, test_loader = _build_loaders(args, config)
+    resume = args.checkpoint_path if args.resume_training else None
+    train(model, config, train_loader, val_loader=test_loader,
+          save_path=run_dir, resume_from=resume)
+    return 0
+
+
+def cmd_validate(args) -> int:
+    import jax
+
+    from coma_unet_tpu.config import ROI_INDICES
+    from coma_unet_tpu.data import (
+        CovariateTable, DataLoader, PredictedMetaTauDataset, PredictionTable,
+    )
+    from coma_unet_tpu.data.covariates import QuartileTable
+    from coma_unet_tpu.train import create_train_state, make_eval_step, make_optimizer
+    from coma_unet_tpu.train.checkpoint import CheckpointManager
+    from coma_unet_tpu.train.loop import evaluate
+    from coma_unet_tpu.utils.logging import setup_logging
+
+    config = _experiment_config(args)
+    setup_logging(None)
+    model = _build_model(config)
+    cov = CovariateTable(config.data.covariate_csv)
+    quart = (QuartileTable(config.data.quartile_csv)
+             if config.data.quartile_csv else None)
+    preds = (PredictionTable(args.predictions_json)
+             if args.predictions_json else None)
+    ds = PredictedMetaTauDataset(
+        args.test_lookup, cov, quart, meta_tau_table=preds,
+        template_space=config.data.template_space,
+        pad_dims=config.data.volume_shape,
+    )
+    loader = DataLoader(ds, config.train.batch_size, predictions=preds)
+    example = next(iter(loader))
+    state = create_train_state(
+        model, make_optimizer(config.train.lr), jax.random.PRNGKey(0),
+        (example["mri"], example["covars"], example["roi_loc"],
+         example["roi_std"], example["roi_compact"]),
+        {"train": True},
+    )
+    if args.checkpoint_path:
+        mgr = CheckpointManager(os.path.dirname(
+            os.path.dirname(args.checkpoint_path)))
+        state, _, _ = mgr.restore(state, args.checkpoint_path)
+    eval_step = make_eval_step(model, len(ROI_INDICES))
+    general, pos, neg, _ = evaluate(
+        eval_step, state, loader, len(ROI_INDICES), save_path=args.save_path
+    )
+    for tag, res in (("overall", general), ("abeta+", pos), ("abeta-", neg)):
+        print(f"[{tag}] MAE={res.mae:.4f} MAPE={res.mape:.2f}% "
+              f"RSE={res.rse:.4f} RRMSE={res.rrmse:.4f} SSIM={res.ssim:.4f} "
+              f"avg_roi_corr={np.nanmean(res.roi_correlations):.4f} "
+              f"(n={res.num_samples})")
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+
+    from coma_unet_tpu.config import ROI_INDICES
+    from coma_unet_tpu.data import (
+        CovariateTable, DataLoader, InferenceVolumeDataset, PredictionTable,
+    )
+    from coma_unet_tpu.infer import make_infer_fn, sliding_window_inference
+    from coma_unet_tpu.io.volume import write_tensor_to_nii
+    from coma_unet_tpu.train import create_train_state, make_optimizer
+    from coma_unet_tpu.train.checkpoint import CheckpointManager
+    from coma_unet_tpu.utils.logging import setup_logging
+
+    config = _experiment_config(args)
+    setup_logging(None)
+    model = _build_model(config)
+    cov = CovariateTable(config.data.covariate_csv)
+    preds = (PredictionTable(args.predictions_json)
+             if args.predictions_json else None)
+    ds = InferenceVolumeDataset(args.input_lookup, cov, meta_tau_table=preds,
+                                pad_dims=config.data.volume_shape)
+    loader = DataLoader(ds, 1, predictions=preds)
+    example = next(iter(loader))
+    state = create_train_state(
+        model, make_optimizer(config.train.lr), jax.random.PRNGKey(0),
+        (example["mri"], example["covars"], example["roi_loc"],
+         example["roi_std"], example["roi_compact"]),
+        {"train": True},
+    )
+    if args.checkpoint_path:
+        mgr = CheckpointManager(os.path.dirname(
+            os.path.dirname(args.checkpoint_path)))
+        state, _, _ = mgr.restore(state, args.checkpoint_path)
+    infer = make_infer_fn(model)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    os.makedirs(args.out_dir, exist_ok=True)
+    for bi, batch in enumerate(loader):
+        if args.sliding_window:
+            out = sliding_window_inference(
+                infer, variables, np.asarray(batch["mri"]),
+                np.asarray(batch["covars"]), np.asarray(batch["roi_loc"]),
+                np.asarray(batch["roi_std"]), np.asarray(batch["roi_compact"]),
+                patch_size=(args.patch_size,) * 3, overlap=args.overlap,
+            )
+        else:
+            out = np.asarray(infer(
+                variables, batch["mri"], batch["covars"], batch["roi_loc"],
+                batch["roi_std"], batch["roi_compact"],
+            ))
+        sid = batch["sample_ids"][0].replace("/", "_") or f"sample_{bi}"
+        path = os.path.join(args.out_dir, f"{sid}_synth_tau.nii")
+        write_tensor_to_nii(out[0], path)
+        print(f"wrote {path}")
+    return 0
+
+
+def main(argv: Optional[list] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "validate":
+        return cmd_validate(args)
+    if args.command == "infer":
+        return cmd_infer(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

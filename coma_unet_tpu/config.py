@@ -86,8 +86,10 @@ class ModelConfig:
     # Mixed precision: bfloat16 activations/matmuls, float32 params+norms.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
-    # Remat (rematerialize encoder levels to trade FLOPs for HBM):
-    remat: bool = False
+    # Remat (rematerialize per-block activations to trade FLOPs for HBM —
+    # required at 128^3: XLA's conv layout padding multiplies stored
+    # activations up to 128x for 1-channel tensors, so storing them all OOMs):
+    remat: bool = True
 
     @property
     def depth(self) -> int:

@@ -67,6 +67,20 @@ class AttentionUNet(nn.Module):
             cov_full = covariate.reshape(covariate.shape[0], -1)
             cov_block = cov_full[:, : cfg.block_num_covars]
 
+        # Rematerialize per-block: XLA's TPU conv layouts store small-channel
+        # full-resolution activations with up to 128x tile padding, so keeping
+        # every block's activations for backward OOMs at 128^3; recompute them.
+        if cfg.remat:
+            Block = nn.remat(ConvBlock, static_argnums=(3,))
+            Up = nn.remat(UpBlock, static_argnums=(3,))
+            Gate = nn.remat(AttentionGate, static_argnums=(3,))
+            Merge = nn.remat(Convolution, static_argnums=(2,))
+            CondReduce = nn.remat(CondConvolution, static_argnums=(3,))
+        else:
+            Block, Up, Gate, Merge, CondReduce = (
+                ConvBlock, UpBlock, AttentionGate, Convolution, CondConvolution
+            )
+
         block_args = dict(
             kernel_size=cfg.kernel_size,
             dropout=cfg.dropout,
@@ -75,20 +89,21 @@ class AttentionUNet(nn.Module):
             num_experts=cfg.num_experts,
             film=cfg.film,
             norm=cfg.norm,
+            remat=cfg.remat,
             dtype=dtype,
             param_dtype=pdtype,
         )
 
         # ---- encoder ----
         # head: ConvBlock(in -> channels[0], stride 1)  (ref :289-294)
-        h = ConvBlock(out_channels=channels[0], strides=1, name="head",
-                      **block_args)(x, cov_block, train=train)
+        h = Block(out_channels=channels[0], strides=1, name="head",
+                  **block_args)(x, cov_block, train)
         encoder: List[jnp.ndarray] = [h]
         for i in range(depth - 1):
-            h = ConvBlock(
+            h = Block(
                 out_channels=channels[i + 1], strides=strides[i],
                 name=f"down{i}", **block_args,
-            )(h, cov_block, train=train)
+            )(h, cov_block, train)
             encoder.append(h)
 
         # ---- decoder (bottom-up) ----
@@ -96,22 +111,23 @@ class AttentionUNet(nn.Module):
         decoder_rev: List[jnp.ndarray] = []
         d = encoder[-1]
         for i in range(depth - 2, -1, -1):
-            up = UpBlock(
+            up = Up(
                 out_channels=channels[i], strides=strides[i],
                 kernel_size=cfg.up_kernel_size, dropout=cfg.dropout,
                 conditional=cfg.conditional, num_covars=cfg.num_covars,
                 num_experts=cfg.num_experts, film=cfg.film, norm=cfg.norm,
                 dtype=dtype, param_dtype=pdtype, name=f"up{i}",
-            )(d, cov_full, train=train)
-            att, psi = AttentionGate(
-                f_int=max(channels[i] // 2, 1), norm=cfg.norm, dtype=dtype,
+            )(d, cov_full, train)
+            att, psi = Gate(
+                f_int=max(channels[i] // 2, 1), norm=cfg.norm,
+                remat=cfg.remat, dtype=dtype,
                 param_dtype=pdtype, name=f"gate{i}",
-            )(up, encoder[i], train=train)
-            merged = Convolution(
+            )(up, encoder[i], train)
+            merged = Merge(
                 out_channels=channels[i], kernel_size=3, act="prelu",
                 norm=cfg.norm, dropout=cfg.dropout, dtype=dtype,
                 param_dtype=pdtype, name=f"merge{i}",
-            )(jnp.concatenate([att, up], axis=1), train=train)
+            )(jnp.concatenate([att, up], axis=1), train)
             attention_maps[i] = psi
             decoder_rev.append(merged)
             d = merged
@@ -120,17 +136,17 @@ class AttentionUNet(nn.Module):
 
         # ---- 1x1 reduce conv (ref :296-306): conv_only, full 6 covars ----
         if cfg.conditional:
-            out = CondConvolution(
+            out = CondReduce(
                 out_channels=cfg.out_channels, kernel_size=1, strides=1,
                 conv_only=True, num_experts=cfg.num_experts,
                 num_covars=cfg.num_covars, film=cfg.film, dtype=dtype,
                 param_dtype=pdtype, name="reduce",
-            )(d, cov_full, train=train)
+            )(d, cov_full, train)
         else:
-            out = Convolution(
+            out = Merge(
                 out_channels=cfg.out_channels, kernel_size=1, strides=1,
                 conv_only=True, dtype=dtype, param_dtype=pdtype, name="reduce",
-            )(d, train=train)
+            )(d, train)
 
         return UNetFeatures(
             out=out,

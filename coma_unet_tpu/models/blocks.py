@@ -75,7 +75,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alpha = self.param(
-            "alpha", lambda _: jnp.asarray(0.25, dtype=self.param_dtype)
+            "alpha", nn.initializers.constant(0.25), (1,), self.param_dtype
         )
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
@@ -393,6 +393,7 @@ class ConvBlock(nn.Module):
     num_experts: int = 8
     film: bool = True
     norm: str = "instance"
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -404,6 +405,14 @@ class ConvBlock(nn.Module):
         covariate: Optional[jnp.ndarray] = None,
         train: bool = True,
     ) -> jnp.ndarray:
+        # inner per-conv remat keeps the backward-recompute peak at ~one
+        # conv's tensors (XLA's conv layouts pad small-channel activations
+        # up to 8x, so every avoided live tensor counts at 128^3)
+        if self.remat:
+            Cond = nn.remat(CondConvolution, static_argnums=(3,))
+            Conv = nn.remat(Convolution, static_argnums=(2,))
+        else:
+            Cond, Conv = CondConvolution, Convolution
         common = dict(
             kernel_size=self.kernel_size,
             act="relu",
@@ -414,24 +423,24 @@ class ConvBlock(nn.Module):
             axis_name=self.axis_name,
         )
         if self.conditional:
-            x = CondConvolution(
+            x = Cond(
                 out_channels=self.out_channels, strides=self.strides,
                 num_covars=self.num_covars, num_experts=self.num_experts,
                 film=self.film, name="conv0", **common,
-            )(x, covariate, train=train)
-            x = CondConvolution(
+            )(x, covariate, train)
+            x = Cond(
                 out_channels=self.out_channels, strides=1,
                 num_covars=self.num_covars, num_experts=self.num_experts,
                 film=self.film, name="conv1", **common,
-            )(x, covariate, train=train)
+            )(x, covariate, train)
         else:
-            x = Convolution(
+            x = Conv(
                 out_channels=self.out_channels, strides=self.strides,
                 name="conv0", **common,
-            )(x, train=train)
-            x = Convolution(
+            )(x, train)
+            x = Conv(
                 out_channels=self.out_channels, strides=1, name="conv1", **common,
-            )(x, train=train)
+            )(x, train)
         return x
 
 
@@ -447,6 +456,7 @@ class AttentionGate(nn.Module):
 
     f_int: int
     norm: str = "instance"
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -455,15 +465,17 @@ class AttentionGate(nn.Module):
     def __call__(
         self, g: jnp.ndarray, x: jnp.ndarray, train: bool = True
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        Conv = nn.remat(Convolution, static_argnums=(2,)) if self.remat \
+            else Convolution
         common = dict(
             kernel_size=1, strides=1, act=None, norm=self.norm,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.axis_name,
         )
-        g1 = Convolution(out_channels=self.f_int, name="W_g", **common)(g, train=train)
-        x1 = Convolution(out_channels=self.f_int, name="W_x", **common)(x, train=train)
+        g1 = Conv(out_channels=self.f_int, name="W_g", **common)(g, train)
+        x1 = Conv(out_channels=self.f_int, name="W_x", **common)(x, train)
         a = jax.nn.relu(g1 + x1)
-        psi = Convolution(out_channels=1, name="psi", **common)(a, train=train)
+        psi = Conv(out_channels=1, name="psi", **common)(a, train)
         psi = jax.nn.sigmoid(psi.astype(jnp.float32)).astype(x.dtype)
         return x * psi, psi
 
@@ -518,19 +530,22 @@ class StackedFusionConvLayers(nn.Module):
     out_channels: int
     num_convs: int = 3
     norm: str = "instance"
+    remat: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        Conv = nn.remat(Convolution, static_argnums=(2,)) if self.remat \
+            else Convolution
         widths = (
             [self.bottleneck_channels] * (self.num_convs - 1) + [self.out_channels]
         )
         for i, w in enumerate(widths):
-            x = Convolution(
+            x = Conv(
                 out_channels=w, act="leakyrelu", norm=self.norm,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv{i}",
-            )(x, train=train)
+            )(x, train)
         return x
 
 

@@ -124,6 +124,11 @@ class ContraAttnUNet(nn.Module):
         cfg = self.config
         b = x.shape[0]
         spatial = x.shape[2:5]
+        if cfg.remat:
+            Stack = nn.remat(StackedFusionConvLayers, static_argnums=(2,))
+            FinalConv = nn.remat(Convolution, static_argnums=(2,))
+        else:
+            Stack, FinalConv = StackedFusionConvLayers, Convolution
         prompt_shape = (1, 1) + tuple(cfg.prompt_shape)
         if tuple(cfg.prompt_shape) != tuple(spatial):
             raise ValueError(
@@ -167,20 +172,21 @@ class ContraAttnUNet(nn.Module):
             [prompt * jnp.ones_like(out), saliency.astype(dtype),
              suvr.astype(dtype)], axis=1,
         )
-        modulated = gen_prompt.astype(dtype) + StackedFusionConvLayers(
+        modulated = gen_prompt.astype(dtype) + Stack(
             bottleneck_channels=16, out_channels=1, num_convs=3,
-            norm=cfg.norm, dtype=dtype, param_dtype=pdtype,
+            norm=cfg.norm, remat=cfg.remat, dtype=dtype, param_dtype=pdtype,
             name="deep_modulator_3c",
-        )(mod_in, train=train)
+        )(mod_in, train)
 
-        fused = StackedFusionConvLayers(
+        fused = Stack(
             bottleneck_channels=8, out_channels=1, num_convs=3, norm=cfg.norm,
-            dtype=dtype, param_dtype=pdtype, name="fusion_layer",
-        )(jnp.concatenate([modulated, out.astype(dtype)], axis=1), train=train)
+            remat=cfg.remat, dtype=dtype, param_dtype=pdtype,
+            name="fusion_layer",
+        )(jnp.concatenate([modulated, out.astype(dtype)], axis=1), train)
 
-        final = Convolution(
+        final = FinalConv(
             out_channels=1, kernel_size=1, act="prelu", norm=cfg.norm,
             dtype=dtype, param_dtype=pdtype, name="final_pred_head",
-        )(jnp.concatenate([out.astype(dtype), fused], axis=1), train=train)
+        )(jnp.concatenate([out.astype(dtype), fused], axis=1), train)
 
         return jax.nn.relu(final.astype(jnp.float32))

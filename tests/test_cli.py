@@ -1,0 +1,96 @@
+"""CLI end-to-end tests over the synthetic cohort (tiny config via JSON)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coma_unet_tpu.cli import build_parser, main
+from tests.test_data import cohort  # fixture reuse  # noqa: F401
+
+
+@pytest.fixture()
+def tiny_config_file(tmp_path):
+    cfg = {
+        "model": {
+            "channels": [4, 8], "strides": [2, 2], "latent_spaces": [16, 16],
+            "prompt_shape": [16, 16, 16], "num_experts": 2,
+            "compute_dtype": "float32",
+        },
+        "loss": {"cds_weights": [0.0, 1.0]},
+        "train": {"epochs": 1, "batch_size": 2, "val_iter": 1,
+                  "adaptive_roi_weights": False},
+        "data": {"volume_shape": [16, 16, 16]},
+        "save_path": str(tmp_path / "results"),
+    }
+    p = str(tmp_path / "config.json")
+    with open(p, "w") as f:
+        json.dump(cfg, f)
+    return p
+
+
+def test_parser_surface():
+    p = build_parser()
+    args = p.parse_args([
+        "train", "-save_path", "x", "-model_type", "ContraAttnUNET",
+        "-batch_size", "2", "-covariates", "-rnc", "--fold", "4",
+    ])
+    assert args.command == "train"
+    assert args.batch_size == 2
+
+
+def test_cli_train_and_validate(cohort, tiny_config_file, tmp_path):  # noqa: F811
+    # arrange fold lookups: fold 1 = all 8 samples train, same as test
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    df = pd.read_csv(cohort["lookup"])
+    df.to_csv(str(splits / "training_lookup_1.csv"), index=False)
+    df.iloc[:4].to_csv(str(splits / "test_lookup_1.csv"), index=False)
+
+    rc = main([
+        "train", "--config", tiny_config_file,
+        "--splits_dir", str(splits), "--fold", "1",
+        "--covariate_csv", cohort["cov"], "--quartile_csv", cohort["quart"],
+        "--predictions_json", cohort["preds"],
+    ])
+    assert rc == 0
+    # a timestamped run dir with checkpoints + metrics exists
+    results = tmp_path / "results"
+    runs = list(results.iterdir())
+    assert len(runs) == 1
+    run = runs[0]
+    assert (run / "checkpoints" / "checkpoint_latest_epoch").exists()
+    assert (run / "validation_metric_results" / "mae.csv").exists()
+    assert (run / "config.json").exists()
+
+    # validate from the checkpoint
+    rc = main([
+        "validate", "--config", tiny_config_file,
+        "--test_lookup", str(splits / "test_lookup_1.csv"),
+        "--covariate_csv", cohort["cov"], "--quartile_csv", cohort["quart"],
+        "--predictions_json", cohort["preds"],
+        "-checkpoint_path", str(run / "checkpoints" / "checkpoint_latest_epoch"),
+        "-save_path", str(tmp_path / "val_out"),
+    ])
+    assert rc == 0
+
+
+def test_cli_infer(cohort, tiny_config_file, tmp_path):  # noqa: F811
+    out_dir = str(tmp_path / "synth")
+    rc = main([
+        "infer", "--config", tiny_config_file,
+        "--input_lookup", cohort["lookup"],
+        "--covariate_csv", cohort["cov"],
+        "--predictions_json", cohort["preds"],
+        "--out_dir", out_dir,
+    ])
+    assert rc == 0
+    outs = os.listdir(out_dir)
+    assert len(outs) == 8
+    from coma_unet_tpu.io.volume import load_nifti_vol
+
+    vol = load_nifti_vol(os.path.join(out_dir, outs[0]), resize=False)
+    assert vol.shape == (1, 16, 16, 16)
+    assert np.isfinite(vol).all()
