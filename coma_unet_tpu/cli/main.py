@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument("-save_path", default="results")
         sp.add_argument("-model_type", default="ContraAttnUNET",
-                        choices=["ContraAttnUNET", "AttnUNET", "UNET"])
+                        choices=["ContraAttnUNET", "AttnUNET", "GenAttnUnet",
+                                 "UNET", "GenUNETR", "AttnUNETR", "SwinUnetr",
+                                 "AttnSwinUnetr"])
         sp.add_argument("-batch_size", type=int, default=2)
         sp.add_argument("-description", default="")
         sp.add_argument("-template_space", action="store_true")
@@ -102,6 +104,8 @@ def _experiment_config(args):
             )
         if getattr(args, "save_path", "results") != "results":
             cfg = dataclasses.replace(cfg, save_path=args.save_path)
+        if getattr(args, "model_type", "ContraAttnUNET") != "ContraAttnUNET":
+            cfg = dataclasses.replace(cfg, model_type=args.model_type)
         return cfg
     model = ModelConfig(
         conditional=args.covariates,
@@ -136,9 +140,9 @@ def _experiment_config(args):
 
 
 def _build_model(config):
-    from coma_unet_tpu.models import ContraAttnUNet
+    from coma_unet_tpu.models.registry import build_model
 
-    return ContraAttnUNet(config.model)
+    return build_model(config.model_type, config.model)
 
 
 def _build_loaders(args, config):

@@ -59,12 +59,15 @@ def same_padding(kernel: Tuple[int, int, int]) -> Tuple[Tuple[int, int], ...]:
 def transposed_padding(
     kernel: Tuple[int, int, int], strides: Tuple[int, int, int]
 ) -> Tuple[Tuple[int, int], ...]:
-    """lhs-dilated conv padding equivalent to torch
-    ConvTranspose3d(k, s, padding=k//2, output_padding=s-1) — the MONAI
-    'SAME' transposed conv that exactly doubles spatial size at s=2."""
-    return tuple(
-        (k - 1 - k // 2, k - 1 - k // 2 + s - 1) for k, s in zip(kernel, strides)
-    )
+    """lhs-dilated conv padding for an exact `out = in * s` transposed conv:
+    with p = (k-1)//2 this equals torch ConvTranspose3d(k, s, padding=p,
+    output_padding=s+2p-k) — e.g. (k=3,s=2,p=1,op=1) the MONAI 'SAME'
+    deconv, or (k=2,s=2,p=0,op=0) the UNETR deconv."""
+    out = []
+    for k, s in zip(kernel, strides):
+        p = (k - 1) // 2
+        out.append((k - 1 - p, s - 1 + p))
+    return tuple(out)
 
 
 class PReLU(nn.Module):

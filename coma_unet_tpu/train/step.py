@@ -20,6 +20,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 
@@ -30,9 +31,29 @@ from coma_unet_tpu.metrics.voxel import voxel_metrics
 from coma_unet_tpu.train.state import TrainState
 
 
+@flax.struct.dataclass
+class _PlainOutputs:
+    out: jnp.ndarray
+    projections: tuple = ()
+    final_projection: Any = None
+
+
+def _takes_with_projections(model) -> bool:
+    import inspect
+
+    try:
+        return "with_projections" in inspect.signature(
+            type(model).__call__
+        ).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def _apply(model, params, batch_stats, batch, prefix, train, rng, with_projections):
     variables = {"params": params}
-    kwargs: Dict[str, Any] = dict(train=train, with_projections=with_projections)
+    kwargs: Dict[str, Any] = dict(train=train)
+    if _takes_with_projections(model):
+        kwargs["with_projections"] = with_projections
     if rng is not None:
         kwargs["rngs"] = {"dropout": rng}
     has_bn = bool(batch_stats)
@@ -51,8 +72,12 @@ def _apply(model, params, batch_stats, batch, prefix, train, rng, with_projectio
     )
     if has_bn and train:
         outs, new_vars = result
-        return outs, new_vars.get("batch_stats", {})
-    return result, batch_stats
+        new_bs = new_vars.get("batch_stats", {})
+    else:
+        outs, new_bs = result, batch_stats
+    if not hasattr(outs, "out"):  # baseline models return a plain volume
+        outs = _PlainOutputs(out=outs)
+    return outs, new_bs
 
 
 def make_train_step(
@@ -68,6 +93,19 @@ def make_train_step(
         outs, new_bs = _apply(
             model, params, batch_stats, batch, "", True, rng, True
         )
+        if not outs.projections:
+            # baseline models (no contrastive heads): generative loss only,
+            # mirroring the reference's non-contrastive `unetr.train` path.
+            from coma_unet_tpu.losses.roi_losses import roi_mse
+
+            gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"],
+                          roi_weights, reduction=None)
+            total = loss_config.gen_weight * jnp.sum(gen)
+            zero = jnp.asarray(0.0, jnp.float32)
+            return total, {
+                "loss": total, "gen_loss": gen, "pred_space_loss": zero,
+                "tcds_loss": zero, "batch_stats": new_bs,
+            }
         kwargs: Dict[str, Any] = {}
         if rnc:
             # RnC pseudo-batch (`attn_unet_data_parallel.py:833-845`): features
