@@ -25,7 +25,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _make_batch
+    from __graft_entry__ import _make_batch, init_on_cpu
     from coma_unet_tpu.config import LossConfig, ModelConfig
     from coma_unet_tpu.models import ContraAttnUNet
     from coma_unet_tpu.train import (
@@ -40,11 +40,8 @@ def main() -> None:
     batch = _make_batch(rng, b=2, s=128)
 
     t0 = time.time()
-    variables = model.init(
-        jax.random.PRNGKey(0), batch["mri"], batch["covars"], batch["roi_loc"],
-        batch["roi_std"], batch["roi_compact"], train=False,
-    )
-    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+    variables = init_on_cpu(model, batch)
+    print(f"init (cpu + transfer): {time.time()-t0:.1f}s", file=sys.stderr)
 
     @jax.jit
     def forward(variables, mri, covars, roi_loc, roi_std, roi_compact):
@@ -56,14 +53,20 @@ def main() -> None:
     args = (variables, batch["mri"], batch["covars"], batch["roi_loc"],
             batch["roi_std"], batch["roi_compact"])
 
+    # NB: through remote-execution relays `block_until_ready` can return
+    # before the device work completes; summing to a fetched scalar forces
+    # real end-to-end execution.
+    def run_forward():
+        return float(jnp.sum(forward(*args)))
+
     t0 = time.time()
-    jax.block_until_ready(forward(*args))
+    run_forward()
     print(f"forward compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
 
     lat = []
     for _ in range(10):
         t0 = time.time()
-        jax.block_until_ready(forward(*args))
+        run_forward()
         lat.append(time.time() - t0)
     # batch of 2 volumes per call -> per-volume latency
     per_call = float(np.percentile(lat, 50))
@@ -86,14 +89,14 @@ def main() -> None:
         step = make_train_step(model, LossConfig(), donate=False)
         roi_w = jnp.full((36,), 225.0)
         t0 = time.time()
-        _, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
-        jax.block_until_ready(aux["loss"])
+        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+        _ = float(aux["loss"])
         print(f"train step compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
         ts = []
         for i in range(5):
             t0 = time.time()
             state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
-            jax.block_until_ready(aux["loss"])
+            _ = float(aux["loss"])  # force real execution through the relay
             ts.append(time.time() - t0)
         print(
             f"p50 train step (b=2): {np.percentile(ts,50)*1000:.1f} ms "

@@ -81,6 +81,17 @@ class VolumeDataset:
         return mri_path, tau_path, roi_path
 
     def load_volume_file(self, path: str) -> np.ndarray:
+        # native C++ fast path (decode + resample + pad off the GIL), with
+        # the pure-NumPy loader as fallback; both are voxel-identical
+        try:
+            from coma_unet_tpu.runtime import load_volume_native, native_available
+
+            if native_available():
+                return load_volume_native(
+                    path, target=self.pad_dims, resize=self.resize
+                )
+        except (IOError, RuntimeError):
+            pass
         vol = load_nifti_vol(path, resize=self.resize)
         if vol.shape[-3:] != self.pad_dims:
             vol = center_pad_crop(vol, self.pad_dims)
