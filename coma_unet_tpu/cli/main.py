@@ -189,6 +189,8 @@ def _build_loaders(args, config):
 
 
 def cmd_train(args) -> int:
+    import dataclasses as _dc
+
     from coma_unet_tpu.train.loop import train
     from coma_unet_tpu.utils.logging import setup_logging
 
@@ -200,11 +202,41 @@ def cmd_train(args) -> int:
     setup_logging(os.path.join(run_dir, f"train_{config.model_type}.log"))
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         f.write(config.to_json())
-    model = _build_model(config)
-    train_loader, test_loader = _build_loaders(args, config)
-    resume = args.checkpoint_path if args.resume_training else None
-    train(model, config, train_loader, val_loader=test_loader,
-          save_path=run_dir, resume_from=resume)
+
+    folds = [config.data.fold]
+    if getattr(args, "cross_val", False):
+        # 5-fold cross validation (`validation_combined_dataset.py:120-214`):
+        # a fresh model per fold, fold_k/ subdirs, cross-fold averaging.
+        folds = list(range(1, 6))
+
+    import numpy as np_  # local alias; np already imported module-level
+
+    fold_metrics = []
+    for k in folds:
+        fold_cfg = _dc.replace(
+            config, data=_dc.replace(config.data, fold=k)
+        )
+        fold_dir = run_dir if len(folds) == 1 else os.path.join(
+            run_dir, f"fold_{k}"
+        )
+        os.makedirs(fold_dir, exist_ok=True)
+        model = _build_model(fold_cfg)
+        train_loader, test_loader = _build_loaders(args, fold_cfg)
+        resume = args.checkpoint_path if args.resume_training else None
+        train(model, fold_cfg, train_loader, val_loader=test_loader,
+              save_path=fold_dir, resume_from=resume)
+        # final evaluation for cross-fold averaging
+        mape_csv = os.path.join(fold_dir, "validation_metric_results",
+                                "mape.csv")
+        if os.path.exists(mape_csv):
+            import pandas as pd
+
+            df = pd.read_csv(mape_csv)
+            if len(df.columns):
+                fold_metrics.append(float(df.iloc[0, -1]))
+    if len(fold_metrics) > 1:
+        print(f"cross-val final MAPE per fold: {fold_metrics}; "
+              f"mean {np.mean(fold_metrics):.3f}")
     return 0
 
 
