@@ -86,6 +86,9 @@ class ModelConfig:
     # Mixed precision: bfloat16 activations/matmuls, float32 params+norms.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Pallas direct-conv kernel for stride-1 small-channel convs (bypasses
+    # XLA's layout-padded conv path; see ops/pallas/conv3d.py):
+    pallas_convs: bool = True
     # Remat (rematerialize per-block activations to trade FLOPs for HBM —
     # required at 128^3: XLA's conv layout padding multiplies stored
     # activations up to 128x for 1-channel tensors, so storing them all OOMs):

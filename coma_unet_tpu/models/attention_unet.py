@@ -90,6 +90,7 @@ class AttentionUNet(nn.Module):
             film=cfg.film,
             norm=cfg.norm,
             remat=cfg.remat,
+            use_pallas=cfg.pallas_convs,
             dtype=dtype,
             param_dtype=pdtype,
         )
@@ -120,12 +121,13 @@ class AttentionUNet(nn.Module):
             )(d, cov_full, train)
             att, psi = Gate(
                 f_int=max(channels[i] // 2, 1), norm=cfg.norm,
-                remat=cfg.remat, dtype=dtype,
+                remat=cfg.remat, use_pallas=cfg.pallas_convs, dtype=dtype,
                 param_dtype=pdtype, name=f"gate{i}",
             )(up, encoder[i], train)
             merged = Merge(
                 out_channels=channels[i], kernel_size=3, act="prelu",
-                norm=cfg.norm, dropout=cfg.dropout, dtype=dtype,
+                norm=cfg.norm, dropout=cfg.dropout,
+                use_pallas=cfg.pallas_convs, dtype=dtype,
                 param_dtype=pdtype, name=f"merge{i}",
             )(jnp.concatenate([att, up], axis=1), train)
             attention_maps[i] = psi

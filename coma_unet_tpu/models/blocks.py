@@ -195,7 +195,20 @@ def conv3d(
     padding,
     groups: int = 1,
     lhs_dilation: Optional[Tuple[int, int, int]] = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
+    if use_pallas and lhs_dilation is None:
+        from coma_unet_tpu.ops.pallas.conv3d import (
+            pallas_conv3d,
+            pallas_conv3d_supported,
+        )
+
+        k = kernel.shape[-1]
+        cubic = kernel.shape[-3:] == (k, k, k)
+        if cubic and pallas_conv3d_supported(
+            x.shape, k, strides, is_transposed=False, groups=groups
+        ):
+            return pallas_conv3d(x, kernel, k)
     # NB: no preferred_element_type override — for bf16 operands the TPU MXU
     # accumulates in f32 natively, and forcing f32 outputs breaks the conv
     # transpose rule under AD (f32 cotangent vs bf16 kernel).
@@ -223,6 +236,7 @@ class Convolution(nn.Module):
     conv_only: bool = False
     is_transposed: bool = False
     use_bias: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -248,7 +262,8 @@ class Convolution(nn.Module):
                 lhs_dilation=strides,
             )
         else:
-            y = conv3d(x, wc, strides, same_padding(kernel_size))
+            y = conv3d(x, wc, strides, same_padding(kernel_size),
+                       use_pallas=self.use_pallas)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
@@ -298,6 +313,7 @@ class CondConvolution(nn.Module):
     num_covars: int = 5
     film: bool = True
     use_bias: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -342,7 +358,9 @@ class CondConvolution(nn.Module):
             )
         else:
             pad = same_padding(kernel_size)
-            run = lambda xi, ki: conv3d(xi, ki, strides, pad)  # noqa: E731
+            run = lambda xi, ki: conv3d(  # noqa: E731
+                xi, ki, strides, pad, use_pallas=self.use_pallas
+            )
         if b <= 4:
             # Unroll per sample: B dense convs beat one grouped conv — XLA's
             # TPU grouped-conv lowering costs ~40% extra (measured 371 ms ->
@@ -410,6 +428,7 @@ class ConvBlock(nn.Module):
     film: bool = True
     norm: str = "instance"
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -434,6 +453,7 @@ class ConvBlock(nn.Module):
             act="relu",
             norm=self.norm,
             dropout=self.dropout,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
@@ -473,6 +493,7 @@ class AttentionGate(nn.Module):
     f_int: int
     norm: str = "instance"
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -485,6 +506,7 @@ class AttentionGate(nn.Module):
             else Convolution
         common = dict(
             kernel_size=1, strides=1, act=None, norm=self.norm,
+            use_pallas=self.use_pallas,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.axis_name,
         )
@@ -547,6 +569,7 @@ class StackedFusionConvLayers(nn.Module):
     num_convs: int = 3
     norm: str = "instance"
     remat: bool = False
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -560,6 +583,7 @@ class StackedFusionConvLayers(nn.Module):
         for i, w in enumerate(widths):
             x = Conv(
                 out_channels=w, act="leakyrelu", norm=self.norm,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype, param_dtype=self.param_dtype, name=f"conv{i}",
             )(x, train)
         return x

@@ -174,18 +174,21 @@ class ContraAttnUNet(nn.Module):
         )
         modulated = gen_prompt.astype(dtype) + Stack(
             bottleneck_channels=16, out_channels=1, num_convs=3,
-            norm=cfg.norm, remat=cfg.remat, dtype=dtype, param_dtype=pdtype,
+            norm=cfg.norm, remat=cfg.remat, use_pallas=cfg.pallas_convs,
+            dtype=dtype, param_dtype=pdtype,
             name="deep_modulator_3c",
         )(mod_in, train)
 
         fused = Stack(
             bottleneck_channels=8, out_channels=1, num_convs=3, norm=cfg.norm,
-            remat=cfg.remat, dtype=dtype, param_dtype=pdtype,
+            remat=cfg.remat, use_pallas=cfg.pallas_convs,
+            dtype=dtype, param_dtype=pdtype,
             name="fusion_layer",
         )(jnp.concatenate([modulated, out.astype(dtype)], axis=1), train)
 
         final = FinalConv(
             out_channels=1, kernel_size=1, act="prelu", norm=cfg.norm,
+            use_pallas=cfg.pallas_convs,
             dtype=dtype, param_dtype=pdtype, name="final_pred_head",
         )(jnp.concatenate([out.astype(dtype), fused], axis=1), train)
 

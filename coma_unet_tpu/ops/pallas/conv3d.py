@@ -1,0 +1,179 @@
+"""Pallas TPU kernel: direct 3D convolution for small channel counts.
+
+Why: XLA's TPU convolution relayouts small-channel NCDHW activations into
+batch/feature-minor tilings that pad up to 128x — one 16-channel 128^3 conv
+measures ~44 ms when its roofline (bandwidth + MXU) is ~1 ms. This kernel
+keeps the native [C, H, W] layout (W on lanes, H on sublanes), builds the 27
+kernel taps as in-VMEM rolls with edge masking, and contracts channels on the
+MXU per tap:
+
+    y[b, :, d] = sum_{kd,kh,kw} W[:, :, kd, kh, kw] @ roll(x[b, :, d+kd-1],
+                                                           (kh-1, kw-1))
+
+Grid: (B, D). The same D-slab is fetched as the (d-1, d, d+1) halo of three
+neighboring steps (3x read amplification ~= 1 ms at HBM bandwidth — cheap
+next to the 40x XLA penalty). Supports kernel 3 and 1, stride 1, SAME.
+
+Used for stride-1 convs at >= 64^2 in-plane resolution with <= 32 channels
+(the U-Net top level, attention gates, and the modulator stacks — 60%+ of
+the flagship's forward time under XLA). Backward runs through a custom VJP:
+dx is this same kernel with the transposed+flipped kernel; dw falls back to
+an XLA reduce (tiny output).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_hw(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
+    """roll [C, H, W] by (-dh, -dw) with zero fill (so out[h] = in[h+dh])."""
+    c, h, w = x.shape
+    if dh != 0:
+        x = pltpu.roll(x, -dh % h, 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
+        if dh > 0:  # out[h] = in[h+dh]; last dh rows invalid
+            x = jnp.where(rows < h - dh, x, 0.0)
+        else:
+            x = jnp.where(rows >= -dh, x, 0.0)
+    if dw != 0:
+        x = pltpu.roll(x, -dw % w, 2)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        if dw > 0:
+            x = jnp.where(cols < w - dw, x, 0.0)
+        else:
+            x = jnp.where(cols >= -dw, x, 0.0)
+    return x
+
+
+def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
+    d = pl.program_id(1)
+    slabs = (xm_ref, x0_ref, xp_ref) if k == 3 else (x0_ref,)
+    acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, H, W]
+    for kd, slab_ref in enumerate(slabs):
+        # f32 in-kernel: Mosaic's rotate has no 16-bit path, and the MXU
+        # contraction accumulates in f32 regardless
+        slab = slab_ref[...].astype(jnp.float32)  # [Cin, H, W]
+        if k == 3:
+            # zero the out-of-volume D halos
+            if kd == 0:
+                slab = jnp.where(d > 0, slab, 0.0)
+            if kd == 2:
+                slab = jnp.where(d < dsize - 1, slab, 0.0)
+        taps = range(-1, 2) if k == 3 else (0,)
+        for kh in taps:
+            for kw in taps:
+                s = _shift_hw(slab, kh, kw)
+                tap = (kd * k + (kh + k // 2)) * k + (kw + k // 2)
+                wk = w_ref[tap]  # [Cout, Cin] f32
+                # [Cout, Cin] x [Cin, H, W] -> [Cout, H, W] on the MXU
+                acc += jax.lax.dot_general(
+                    wk, s, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    b, cin, dsz, h, wd = x.shape
+    cout = w.shape[0]
+    # weights as [k^3, Cout, Cin] f32: tap-indexed leading dim (clean Mosaic
+    # layout), channels on (sublane, lane)
+    w_taps = jnp.transpose(
+        w.reshape(cout, cin, -1), (2, 0, 1)
+    ).astype(jnp.float32)
+    grid = (b, dsz)
+
+    def idx(off):
+        def f(bi, di):
+            return (bi, 0, jnp.clip(di + off, 0, dsz - 1), 0, 0)
+
+        return f
+
+    # None block dims are squeezed out in-kernel (refs are [Cin, H, W])
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cin, None, h, wd), idx(off), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        partial(_conv_kernel, k=k, dsize=dsz),
+        grid=grid,
+        in_specs=[
+            spec(-1), spec(0), spec(1),
+            pl.BlockSpec(
+                (k ** 3, cout, cin), lambda bi, di: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, cout, None, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout, dsz, h, wd), x.dtype),
+        interpret=interpret,
+    )(x, x, x, w_taps)
+    return out
+
+
+def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,
+                            groups: int = 1) -> bool:
+    """Conservative gate for when the Pallas path wins over XLA."""
+    if is_transposed or groups != 1 or k not in (1, 3):
+        return False
+    if any(s != 1 for s in strides):
+        return False
+    if len(x_shape) != 5:
+        return False
+    b, c, d, h, w = x_shape
+    if w % 128 != 0 or h < 8:
+        return False
+    if c > 32 or b * d <= 4:  # grid too small / channels big enough for XLA
+        return False
+    # VMEM: 3 slabs + accum must fit comfortably
+    vmem = (3 * c * h * w * 2) + (h * w * 4 * 32)
+    return vmem < 12 * 1024 * 1024
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_conv3d(x: jnp.ndarray, w: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    """Stride-1 SAME 3D conv, NCDHW / OIDHW, k in {1, 3}."""
+    return _pallas_conv3d_fwd(x, w, k)
+
+
+def _fwd(x, w, k):
+    return _pallas_conv3d_fwd(x, w, k), (x, w)
+
+
+def _xla_conv(x, w, k):
+    pad = (k - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(pad, pad)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+
+
+def _bwd(k, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    # dx: the same stride-1 SAME conv with the spatially-flipped, io-swapped
+    # kernel — run it through the fast Pallas forward.
+    if k == 3:
+        w_t = jnp.flip(w, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)
+    else:
+        w_t = w.transpose(1, 0, 2, 3, 4)
+    dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
+    # dw: tiny output [Cout, Cin, k^3]; XLA's conv weight-gradient path.
+    _, w_vjp = jax.vjp(lambda w_: _xla_conv(x, w_, k), w)
+    (dw,) = w_vjp(g)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d.defvjp(_fwd, _bwd)

@@ -1,0 +1,68 @@
+"""Pallas conv3d kernel: interpret-mode correctness vs XLA + gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coma_unet_tpu.ops.pallas.conv3d import (
+    _pallas_conv3d_fwd,
+    _xla_conv,
+    pallas_conv3d,
+    pallas_conv3d_supported,
+)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((2, 4, 5, 8, 128), 3),
+    ((1, 3, 4, 16, 128), 1),
+    ((1, 1, 3, 8, 128), 3),   # single-channel (the U-Net head input)
+])
+def test_interpret_matches_xla(shape, k):
+    rng = np.random.default_rng(0)
+    b, c, d, h, w = shape
+    co = c + 1
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    wk = jnp.asarray(rng.normal(size=(co, c, k, k, k)) * 0.1, jnp.float32)
+    got = _pallas_conv3d_fwd(x, wk, k, interpret=True)
+    want = _xla_conv(x, wk, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(4, 4, 3, 3, 3)) * 0.1, jnp.float32)
+
+    import coma_unet_tpu.ops.pallas.conv3d as M
+
+    # route the custom-vjp forward through interpret mode for CPU testing
+    orig = M._pallas_conv3d_fwd
+    M._pallas_conv3d_fwd = lambda x, w, k, interpret=False: orig(
+        x, w, k, interpret=True
+    )
+    try:
+        g1 = jax.grad(lambda a, b: jnp.sum(pallas_conv3d(a, b, 3) ** 2),
+                      argnums=(0, 1))(x, w)
+    finally:
+        M._pallas_conv3d_fwd = orig
+    g2 = jax.grad(lambda a, b: jnp.sum(_xla_conv(a, b, 3) ** 2),
+                  argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_support_gate():
+    ok = pallas_conv3d_supported((2, 16, 128, 128, 128), 3, (1, 1, 1), False)
+    assert ok
+    # rejects: transposed, strided, wrong W, big C, groups
+    assert not pallas_conv3d_supported((2, 16, 128, 128, 128), 3, (1, 1, 1), True)
+    assert not pallas_conv3d_supported((2, 16, 64, 64, 64), 3, (2, 2, 2), False)
+    assert not pallas_conv3d_supported((2, 16, 16, 16, 16), 3, (1, 1, 1), False)
+    assert not pallas_conv3d_supported((2, 64, 128, 128, 128), 3, (1, 1, 1), False)
+    assert not pallas_conv3d_supported(
+        (2, 16, 128, 128, 128), 3, (1, 1, 1), False, groups=2
+    )
