@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--covariate_csv", default=None)
         sp.add_argument("--quartile_csv", default=None)
         sp.add_argument("--predictions_json", default=None)
+        sp.add_argument("--cognition_json", default=None,
+                        help="KNN-predicted MMSCORE table (combined cohort)")
+        sp.add_argument("--abeta_fallback_json", default=None,
+                        help="predicted abeta fallback table (combined cohort)")
         sp.add_argument("--fold", type=int, default=4)
         sp.add_argument("--data_parallel", type=int, default=1)
         sp.add_argument("--norm", default="instance")
@@ -145,6 +149,22 @@ def _build_model(config):
     return build_model(config.model_type, config.model)
 
 
+def _roi_indices(config):
+    from coma_unet_tpu.config import ROI_INDICES, TEMPLATE_ROI_INDICES
+
+    return (TEMPLATE_ROI_INDICES if config.data.template_space
+            else ROI_INDICES)
+
+
+def _load_json(path):
+    import json
+
+    if not path:
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def _build_loaders(args, config):
     from coma_unet_tpu.data import (
         CombinedVolumeDataset, CovariateTable, DataLoader,
@@ -170,21 +190,29 @@ def _build_loaders(args, config):
         pad_dims=config.data.volume_shape,
     )
     if getattr(args, "combined", False):
+        aux = dict(
+            cognition_table=_load_json(getattr(args, "cognition_json", None)),
+            abeta_fallback_table=_load_json(
+                getattr(args, "abeta_fallback_json", None)
+            ),
+        )
         train_ds = CombinedVolumeDataset(train_csv, cov, meta_tau_table=preds,
-                                         **ds_kwargs)
+                                         **aux, **ds_kwargs)
         test_ds = CombinedVolumeDataset(test_csv, cov, meta_tau_table=preds,
-                                        **ds_kwargs)
+                                        **aux, **ds_kwargs)
     else:
         train_ds = PredictedMetaTauDataset(train_csv, cov, quart,
                                            meta_tau_table=preds, **ds_kwargs)
         test_ds = PredictedMetaTauDataset(test_csv, cov, quart,
                                           meta_tau_table=preds, **ds_kwargs)
+    roi_idx = _roi_indices(config)
     train_loader = DataLoader(
         train_ds, config.train.batch_size, predictions=preds, shuffle=True,
         with_triplets=not config.loss.rnc, drop_last=False,
+        roi_indices=roi_idx,
     )
     test_loader = DataLoader(test_ds, config.train.batch_size,
-                             predictions=preds)
+                             predictions=preds, roi_indices=roi_idx)
     return train_loader, test_loader
 
 
@@ -224,7 +252,8 @@ def cmd_train(args) -> int:
         train_loader, test_loader = _build_loaders(args, fold_cfg)
         resume = args.checkpoint_path if args.resume_training else None
         train(model, fold_cfg, train_loader, val_loader=test_loader,
-              save_path=fold_dir, resume_from=resume)
+              save_path=fold_dir, resume_from=resume,
+              num_rois=len(_roi_indices(fold_cfg)))
         # final evaluation for cross-fold averaging
         mape_csv = os.path.join(fold_dir, "validation_metric_results",
                                 "mape.csv")

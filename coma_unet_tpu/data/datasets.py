@@ -235,9 +235,14 @@ class RegressionVolumeDataset(ClusterVolumeDataset):
     (`VolumeDataset.py:591-664`); mode 'contrastive' | 'cluster'."""
 
     def __init__(self, lookup, covariates, quartiles, meta_tau_table=None,
-                 mode: str = "cluster", **kwargs):
+                 mode: str = "cluster", meta_tau_noise_std: float = 0.0,
+                 noise_seed: int = 0, **kwargs):
         self.meta_tau_table = meta_tau_table
         self.mode = mode
+        # noise-injection study apparatus (`data_util.py:306-321`): Gaussian
+        # noise on the meta-tau label, deterministic per subject.
+        self.meta_tau_noise_std = meta_tau_noise_std
+        self.noise_seed = noise_seed
         super().__init__(lookup, covariates, quartiles, **kwargs)
 
     def meta_tau(self, idx: int) -> Optional[float]:
@@ -248,7 +253,11 @@ class RegressionVolumeDataset(ClusterVolumeDataset):
             v = self.meta_tau_table.meta_tau(sid)
         else:
             v = float(self.meta_tau_table.get(sid, float("nan")))
-        return 0.0 if np.isnan(v) else float(v)
+        v = 0.0 if np.isnan(v) else float(v)
+        if self.meta_tau_noise_std > 0.0:
+            rng = np.random.default_rng(hash((sid, self.noise_seed)) % (2**32))
+            v += float(rng.normal(0.0, self.meta_tau_noise_std))
+        return v
 
     def __getitem__(self, idx: int) -> Dict:
         if self.mode == "cluster":

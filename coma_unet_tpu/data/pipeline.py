@@ -39,13 +39,13 @@ def compact_roi_np(roi: np.ndarray, roi_indices=ROI_INDICES) -> np.ndarray:
 
 
 def _stack_flat(samples: List[Dict], predictions: Optional[PredictionTable],
-                prefix: str = "") -> Dict[str, np.ndarray]:
+                prefix: str = "", roi_indices=ROI_INDICES) -> Dict[str, np.ndarray]:
     mri = np.stack([s["mri"] for s in samples]).astype(np.float32)
     out = {prefix + "mri": mri}
     if "tau" in samples[0]:
         out[prefix + "tau"] = np.stack([s["tau"] for s in samples]).astype(np.float32)
     roi = np.stack([s["roi"][0] for s in samples])
-    out[prefix + "roi_compact"] = compact_roi_np(roi)
+    out[prefix + "roi_compact"] = compact_roi_np(roi, roi_indices)
     if "covars" in samples[0]:
         covars = np.stack([np.asarray(s["covars"], np.float32).reshape(-1)
                            for s in samples])
@@ -53,7 +53,7 @@ def _stack_flat(samples: List[Dict], predictions: Optional[PredictionTable],
         out[prefix + "abeta"] = np.asarray(
             [s.get("abeta", -1.0) for s in samples], np.float32
         )
-    r = len(ROI_INDICES)
+    r = len(roi_indices)
     locs = np.zeros((len(samples), r), np.float32)
     stds = np.zeros((len(samples), r), np.float32)
     if predictions is not None:
@@ -70,6 +70,7 @@ def collate(
     samples: List[Dict],
     predictions: Optional[PredictionTable] = None,
     with_triplets: bool = False,
+    roi_indices=ROI_INDICES,
 ) -> Dict[str, np.ndarray]:
     """Samples -> train-step batch dict (SURVEY §3.3 batch-schema cleanup:
     one coherent schema for flat and triplet batches).
@@ -81,17 +82,19 @@ def collate(
     """
     nested = "anchor" in samples[0]
     anchors = [s["anchor"] if nested else s for s in samples]
-    batch = _stack_flat(anchors, predictions)
+    batch = _stack_flat(anchors, predictions, roi_indices=roi_indices)
     batch["sample_ids"] = [s.get("sample_id", "") for s in anchors]
     batch["tau_paths"] = [s.get("tau_path", "") for s in anchors]
     if nested and with_triplets:
         pos = [s["pos"] for s in samples]
-        batch.update(_stack_flat(pos, predictions, prefix="pos_"))
+        batch.update(_stack_flat(pos, predictions, prefix="pos_",
+                                 roi_indices=roi_indices))
         negs = [
             (s.get("neg") or (s["negs"][0] if s.get("negs") else s["pos"]))
             for s in samples
         ]
-        batch.update(_stack_flat(negs, predictions, prefix="neg_"))
+        batch.update(_stack_flat(negs, predictions, prefix="neg_",
+                                 roi_indices=roi_indices))
     return batch
 
 
@@ -122,6 +125,7 @@ class DataLoader:
         prefetch: int = 2,
         drop_last: bool = False,
         device_put: Optional[Callable] = None,
+        roi_indices=ROI_INDICES,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -134,6 +138,7 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.device_put = device_put
+        self.roi_indices = roi_indices
         self._epoch = 0
 
     def _indices(self) -> List[int]:
@@ -176,7 +181,8 @@ class DataLoader:
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, b))
-                    batch = collate(samples, self.predictions, self.with_triplets)
+                    batch = collate(samples, self.predictions,
+                                    self.with_triplets, self.roi_indices)
                     if self.device_put is not None:
                         batch = self.device_put(batch)
                     out_q.put(batch)

@@ -34,22 +34,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift_hw(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
-    """roll [C, H, W] by (-dh, -dw) with zero fill (so out[h] = in[h+dh])."""
+    """Shift [C, H, W] so out[h, w] = in[h+dh, w+dw], zero fill.
+
+    Static slice + concat (not rotate): Mosaic's tpu.dynamic_rotate has no
+    16-bit path, while static lane/sublane shifts work at bf16 — which keeps
+    every slab bf16 until the MXU contraction and halves kernel VMEM."""
     c, h, w = x.shape
-    if dh != 0:
-        x = pltpu.roll(x, -dh % h, 1)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1), 1)
-        if dh > 0:  # out[h] = in[h+dh]; last dh rows invalid
-            x = jnp.where(rows < h - dh, x, 0.0)
-        else:
-            x = jnp.where(rows >= -dh, x, 0.0)
-    if dw != 0:
-        x = pltpu.roll(x, -dw % w, 2)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
-        if dw > 0:
-            x = jnp.where(cols < w - dw, x, 0.0)
-        else:
-            x = jnp.where(cols >= -dw, x, 0.0)
+    if dh > 0:
+        x = jnp.concatenate(
+            [x[:, dh:], jnp.zeros((c, dh, w), x.dtype)], axis=1
+        )
+    elif dh < 0:
+        x = jnp.concatenate(
+            [jnp.zeros((c, -dh, w), x.dtype), x[:, :dh]], axis=1
+        )
+    if dw > 0:
+        x = jnp.concatenate(
+            [x[:, :, dw:], jnp.zeros((c, h, dw), x.dtype)], axis=2
+        )
+    elif dw < 0:
+        x = jnp.concatenate(
+            [jnp.zeros((c, h, -dw), x.dtype), x[:, :, :dw]], axis=2
+        )
     return x
 
 
@@ -58,9 +64,7 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
     slabs = (xm_ref, x0_ref, xp_ref) if k == 3 else (x0_ref,)
     acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, H, W]
     for kd, slab_ref in enumerate(slabs):
-        # f32 in-kernel: Mosaic's rotate has no 16-bit path, and the MXU
-        # contraction accumulates in f32 regardless
-        slab = slab_ref[...].astype(jnp.float32)  # [Cin, H, W]
+        slab = slab_ref[...]  # [Cin, H, W], stays bf16 until the dot
         if k == 3:
             # zero the out-of-volume D halos
             if kd == 0:
@@ -72,7 +76,7 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
             for kw in taps:
                 s = _shift_hw(slab, kh, kw)
                 tap = (kd * k + (kh + k // 2)) * k + (kw + k // 2)
-                wk = w_ref[tap]  # [Cout, Cin] f32
+                wk = w_ref[tap].astype(s.dtype)  # [Cout, Cin]
                 # [Cout, Cin] x [Cin, H, W] -> [Cout, H, W] on the MXU
                 acc += jax.lax.dot_general(
                     wk, s, (((1,), (0,)), ((), ())),

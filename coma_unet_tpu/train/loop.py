@@ -40,15 +40,39 @@ def evaluate(
     num_rois: int,
     save_path: str = "",
     save_matrices: bool = True,
+    save_samples: int = 0,
 ) -> Tuple[MetricResults, MetricResults, MetricResults, Optional[np.ndarray]]:
     """`contrastive_test` equivalent: run the jitted eval step over the
-    loader, accumulate overall/pos/neg metrics + per-ROI Pearson r."""
+    loader, accumulate overall/pos/neg metrics + per-ROI Pearson r.
+    `save_samples` > 0 writes the first N (pred, gt) pairs as NIfTI
+    (representative-sample dumps, ref `attn_unet_data_parallel.py:1503-1522`).
+    """
     acc = MetricAccumulator(num_rois)
+    saved = 0
     for batch in loader:
         db = {k: v for k, v in batch.items()
               if k not in ("sample_ids", "tau_paths")}
         pred, vox, roi = eval_step(state, db)
         acc.update(vox, roi, batch["abeta"], batch.get("sample_ids"))
+        if save_path and saved < save_samples:
+            from coma_unet_tpu.io.volume import write_tensor_to_nii
+
+            p = np.asarray(pred)
+            t = np.asarray(batch["tau"])
+            ids = batch.get("sample_ids") or [
+                f"sample{saved + j}" for j in range(p.shape[0])
+            ]
+            for j in range(p.shape[0]):
+                if saved >= save_samples:
+                    break
+                sid = str(ids[j]).replace("/", "_")
+                write_tensor_to_nii(
+                    p[j], os.path.join(save_path, f"{sid}_pred.nii")
+                )
+                write_tensor_to_nii(
+                    t[j], os.path.join(save_path, f"{sid}_gt.nii")
+                )
+                saved += 1
     if save_path and save_matrices:
         acc.save_matrices(save_path)
     general, pos, neg = acc.results()
@@ -160,7 +184,8 @@ def train(
             val_dir = os.path.join(save_path, f"{epoch}_output_samples")
             os.makedirs(val_dir, exist_ok=True)
             general, pos, neg, voxel_mape = evaluate(
-                eval_step, state, val_loader, num_rois, save_path=val_dir
+                eval_step, state, val_loader, num_rois, save_path=val_dir,
+                save_samples=2,
             )
             recorder.record(general, epoch)
             pos_recorder.record(pos, epoch)

@@ -57,7 +57,8 @@ def test_cross_val_flag_loops_folds(tmp_path, monkeypatch):
 
     calls = []
 
-    def fake_train(model, cfg, tl, val_loader, save_path, resume_from=None):
+    def fake_train(model, cfg, tl, val_loader, save_path, resume_from=None,
+                   **kwargs):
         calls.append((cfg.data.fold, save_path))
 
     monkeypatch.setattr(M, "_build_model", lambda cfg: object())
