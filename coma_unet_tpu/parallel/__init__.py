@@ -5,3 +5,4 @@ from coma_unet_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     make_sharded_train_step,
 )
+from coma_unet_tpu.parallel.mesh import make_sharded_eval_step  # noqa: F401

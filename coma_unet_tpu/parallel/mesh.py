@@ -193,3 +193,38 @@ def make_spatial_infer_fn(model, mesh: Mesh):
         return outs.out
 
     return infer
+
+
+def make_sharded_eval_step(model, mesh: Mesh, num_rois: int):
+    """DP evaluation over the mesh: each shard evaluates its local batch
+    slice; per-sample metric arrays are all-gathered so the host accumulator
+    sees the full batch (the multi-chip `contrastive_test` data path)."""
+    from coma_unet_tpu.metrics.roi import roi_metrics
+    from coma_unet_tpu.metrics.voxel import voxel_metrics
+    from coma_unet_tpu.train.step import _apply
+
+    def local_eval(state, batch):
+        outs, _ = _apply(
+            model, state.params, state.batch_stats, batch, "", False, None,
+            False,
+        )
+        pred = outs.out
+        vox = voxel_metrics(pred, batch["tau"])
+        roi = roi_metrics(pred, batch["tau"], batch["roi_compact"], num_rois)
+        gather = lambda t: jax.lax.all_gather(t, "data", axis=0, tiled=True)  # noqa: E731
+        return (
+            gather(pred),
+            {k: gather(v) for k, v in vox.items()},
+            {k: gather(v) for k, v in roi.items()},
+        )
+
+    def step(state, batch):
+        return jax.shard_map(
+            local_eval,
+            mesh=mesh,
+            in_specs=(P(), _batch_specs(batch)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(state, batch)
+
+    return jax.jit(step)

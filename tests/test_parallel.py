@@ -80,3 +80,32 @@ def test_spatial_sharding_compiles(tiny_model_config, rng):
     roi_w = jnp.full((36,), 225.0)
     _, aux = step(sstate, sbatch, roi_w, rng)
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_sharded_eval_matches_single(tiny_model_config, rng):
+    from coma_unet_tpu.parallel.mesh import make_sharded_eval_step
+    from coma_unet_tpu.train import make_eval_step
+
+    batch = make_batch(rng, b=8)
+    model = ContraAttnUNet(tiny_model_config)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(
+        model, tx, rng,
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True},
+    )
+    single = make_eval_step(model, 36)
+    pred1, vox1, roi1 = single(state, batch)
+
+    mesh = make_mesh(data=8, spatial=1)
+    sharded = make_sharded_eval_step(model, mesh, 36)
+    sbatch = shard_batch(batch, mesh)
+    sstate = replicate_state(state, mesh)
+    pred2, vox2, roi2 = sharded(sstate, sbatch)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vox1["mae"]), np.asarray(vox2["mae"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(roi1["mae"]), np.asarray(roi2["mae"]),
+                               rtol=1e-3, atol=1e-5)
