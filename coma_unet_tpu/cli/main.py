@@ -82,6 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--sliding_window", action="store_true")
     i.add_argument("--patch_size", type=int, default=128)
     i.add_argument("--overlap", type=float, default=0.25)
+    i.add_argument("--save_attention", action="store_true",
+                   help="also export per-level attention maps as NIfTI")
     return p
 
 
@@ -374,6 +376,14 @@ def cmd_infer(args) -> int:
         path = os.path.join(args.out_dir, f"{sid}_synth_tau.nii")
         write_tensor_to_nii(out[0], path)
         print(f"wrote {path}")
+        if getattr(args, "save_attention", False):
+            from coma_unet_tpu.analysis import export_attention_maps
+
+            export_attention_maps(
+                model, variables, batch,
+                os.path.join(args.out_dir, "attention"),
+                sample_ids=batch["sample_ids"],
+            )
     return 0
 
 
