@@ -106,3 +106,21 @@ def load_template(
     (`data_util.py:830-839`). Returns [D, H, W]."""
     vol = load_nifti_vol(path, resize=resize)
     return center_pad_crop(vol[0], tuple(target))
+
+
+def reduce_image_size(vol: np.ndarray) -> np.ndarray:
+    """Crop to the nonzero bounding box (`data_util.reduce_image_size`,
+    `data_util.py:67-78`). Works on [..., D, H, W]."""
+    arr = np.asarray(vol)
+    spatial = arr.reshape((-1,) + arr.shape[-3:]).any(axis=0)
+    if not spatial.any():
+        return arr
+    idx = np.nonzero(spatial)
+    sl = tuple(slice(int(i.min()), int(i.max()) + 1) for i in idx)
+    return arr[(Ellipsis,) + sl]
+
+
+def convert_npy_to_nii(npy_path: str, nii_path: str,
+                       spacing=(2.0, 2.0, 2.0)) -> None:
+    """`data_util.convert_npy_to_nii` (`data_util.py:781-794`)."""
+    write_tensor_to_nii(np.load(npy_path), nii_path, spacing=spacing)

@@ -86,6 +86,10 @@ def paint_roi_values(
     """Paint per-ROI scalars onto the volume (vectorized `roi_pred_dicts`
     painting from `attn_unet_data_parallel.py:641-644`).
 
+    Implemented as an unrolled select-sum over the (static, small) ROI set:
+    TPU gathers over the volume (`take_along_axis`) measure ~49 ms at
+    [2, 128^3] where 36 fused compare-selects take ~5 ms.
+
     Args:
       compact: [B, ...spatial...] compact ids in [0, R].
       per_roi_values: [B, R] value per foreground ROI.
@@ -95,13 +99,13 @@ def paint_roi_values(
       [B, ...spatial...] float volume.
     """
     b, r = per_roi_values.shape
-    table = jnp.concatenate(
-        [jnp.full((b, 1), background, dtype=per_roi_values.dtype), per_roi_values],
-        axis=1,
-    )  # [B, R+1]
-    return jnp.take_along_axis(
-        table, compact.reshape(b, -1), axis=1
-    ).reshape(compact.shape)
+    bshape = (b,) + (1,) * (compact.ndim - 1)
+    acc = jnp.full(compact.shape, background, dtype=per_roi_values.dtype)
+    for i in range(r):
+        acc = jnp.where(
+            compact == i + 1, per_roi_values[:, i].reshape(bshape), acc
+        )
+    return acc
 
 
 def roi_weight_mask(
