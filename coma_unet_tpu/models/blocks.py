@@ -205,10 +205,25 @@ def conv3d(
 
         k = kernel.shape[-1]
         cubic = kernel.shape[-3:] == (k, k, k)
+        cin = x.shape[1]
         if cubic and pallas_conv3d_supported(
             x.shape, k, strides, is_transposed=False, groups=groups
         ):
             return pallas_conv3d(x, kernel, k)
+        if (
+            cubic and groups == 1 and 32 < cin <= 64
+            and pallas_conv3d_supported(
+                (x.shape[0], 32) + x.shape[2:], k, strides,
+                is_transposed=False,
+            )
+        ):
+            # conv is linear in the input channels: split wide inputs into
+            # two <=32-channel pallas convs and add (exact) — covers the
+            # 64->32 merge conv at full resolution
+            h = cin // 2
+            return pallas_conv3d(x[:, :h], kernel[:, :h], k) + pallas_conv3d(
+                x[:, h:], kernel[:, h:], k
+            )
     # NB: no preferred_element_type override — for bf16 operands the TPU MXU
     # accumulates in f32 natively, and forcing f32 outputs breaks the conv
     # transpose rule under AD (f32 cotangent vs bf16 kernel).
