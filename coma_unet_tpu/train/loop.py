@@ -115,7 +115,8 @@ def train(
         log.info("resumed from %s at epoch %d", resume_from, start_epoch)
 
     if train_step is None:
-        train_step = make_train_step(model, lcfg, donate=False)
+        # donate the previous state's buffers — halves optimizer-state HBM
+        train_step = make_train_step(model, lcfg, donate=True)
     if eval_step is None:
         eval_step = make_eval_step(model, num_rois)
 
