@@ -132,6 +132,11 @@ def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,
     """Conservative gate for when the Pallas path wins over XLA."""
     if is_transposed or groups != 1 or k not in (1, 3):
         return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False  # Mosaic kernels only compile for TPU
+    except RuntimeError:
+        return False
     if any(s != 1 for s in strides):
         return False
     if len(x_shape) != 5:
@@ -164,6 +169,78 @@ def _xla_conv(x, w, k):
     )
 
 
+def _dw_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, k: int, dsize: int):
+    """Accumulate dw[tap, Cout, Cin] across the whole (B, D) grid — the
+    output block has a constant index map so it stays resident in VMEM.
+
+    dw[tap][o, c] = sum_{pixels} g[o, p] * shift_tap(x)[c, p]."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, d == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    g = g_ref[...]  # [Cout, H, W]
+    slabs = (xm_ref, x0_ref, xp_ref) if k == 3 else (x0_ref,)
+    for kd, slab_ref in enumerate(slabs):
+        slab = slab_ref[...]
+        if k == 3:
+            if kd == 0:
+                slab = jnp.where(d > 0, slab, 0.0)
+            if kd == 2:
+                slab = jnp.where(d < dsize - 1, slab, 0.0)
+        taps = range(-1, 2) if k == 3 else (0,)
+        for kh in taps:
+            for kw in taps:
+                sx = _shift_hw(slab, kh, kw)  # [Cin, H, W]
+                tap = (kd * k + (kh + k // 2)) * k + (kw + k // 2)
+                # contract pixels: [Cout, H*W] x [Cin, H*W] -> [Cout, Cin]
+                # (Mosaic matmul needs a single contracting dim)
+                hw = g.shape[1] * g.shape[2]
+                o_ref[tap] += jax.lax.dot_general(
+                    g.reshape(g.shape[0], hw), sx.reshape(sx.shape[0], hw),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+@partial(jax.jit, static_argnames=("k", "interpret"))
+def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Weight gradient of the stride-1 SAME conv: returns [Cout, Cin, k,k,k]."""
+    b, cin, dsz, h, wd = x.shape
+    cout = g.shape[1]
+
+    def idx(off):
+        def f(bi, di):
+            return (bi, 0, jnp.clip(di + off, 0, dsz - 1), 0, 0)
+
+        return f
+
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cin, None, h, wd), idx(off), memory_space=pltpu.VMEM
+    )
+    dw_taps = pl.pallas_call(
+        partial(_dw_kernel, k=k, dsize=dsz),
+        grid=(b, dsz),
+        in_specs=[
+            spec(-1), spec(0), spec(1),
+            pl.BlockSpec((None, cout, None, h, wd),
+                         lambda bi, di: (bi, 0, di, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (k ** 3, cout, cin), lambda bi, di: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32),
+        interpret=interpret,
+    )(x, x, x, g)
+    # [k^3, Cout, Cin] -> [Cout, Cin, k, k, k]
+    return jnp.transpose(dw_taps, (1, 2, 0)).reshape(cout, cin, k, k, k)
+
+
 def _bwd(k, res, g):
     x, w = res
     g = g.astype(x.dtype)
@@ -174,9 +251,7 @@ def _bwd(k, res, g):
     else:
         w_t = w.transpose(1, 0, 2, 3, 4)
     dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
-    # dw: tiny output [Cout, Cin, k^3]; XLA's conv weight-gradient path.
-    _, w_vjp = jax.vjp(lambda w_: _xla_conv(x, w_, k), w)
-    (dw,) = w_vjp(g)
+    dw = _pallas_conv3d_dw(x, g, k)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 

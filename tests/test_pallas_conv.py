@@ -37,16 +37,21 @@ def test_gradients_match_xla():
 
     import coma_unet_tpu.ops.pallas.conv3d as M
 
-    # route the custom-vjp forward through interpret mode for CPU testing
-    orig = M._pallas_conv3d_fwd
-    M._pallas_conv3d_fwd = lambda x, w, k, interpret=False: orig(
+    # route the custom-vjp kernels through interpret mode for CPU testing
+    orig_fwd = M._pallas_conv3d_fwd
+    orig_dw = M._pallas_conv3d_dw
+    M._pallas_conv3d_fwd = lambda x, w, k, interpret=False: orig_fwd(
         x, w, k, interpret=True
+    )
+    M._pallas_conv3d_dw = lambda x, g, k, interpret=False: orig_dw(
+        x, g, k, interpret=True
     )
     try:
         g1 = jax.grad(lambda a, b: jnp.sum(pallas_conv3d(a, b, 3) ** 2),
                       argnums=(0, 1))(x, w)
     finally:
-        M._pallas_conv3d_fwd = orig
+        M._pallas_conv3d_fwd = orig_fwd
+        M._pallas_conv3d_dw = orig_dw
     g2 = jax.grad(lambda a, b: jnp.sum(_xla_conv(a, b, 3) ** 2),
                   argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
@@ -56,8 +61,11 @@ def test_gradients_match_xla():
 
 
 def test_support_gate():
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
     ok = pallas_conv3d_supported((2, 16, 128, 128, 128), 3, (1, 1, 1), False)
-    assert ok
+    assert ok == on_tpu  # gate also requires the TPU backend
     # rejects: transposed, strided, wrong W, big C, groups
     assert not pallas_conv3d_supported((2, 16, 128, 128, 128), 3, (1, 1, 1), True)
     assert not pallas_conv3d_supported((2, 16, 64, 64, 64), 3, (2, 2, 2), False)
@@ -66,3 +74,18 @@ def test_support_gate():
     assert not pallas_conv3d_supported(
         (2, 16, 128, 128, 128), 3, (1, 1, 1), False, groups=2
     )
+
+
+def test_dw_kernel_matches_xla_interpret():
+    from coma_unet_tpu.ops.pallas.conv3d import _pallas_conv3d_dw
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 8, 128)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 5, 4, 8, 128)), jnp.float32)
+    got = _pallas_conv3d_dw(x, g, 3, interpret=True)
+    _, w_vjp = jax.vjp(
+        lambda w_: _xla_conv(x, w_, 3), jnp.zeros((5, 3, 3, 3, 3))
+    )
+    (want,) = w_vjp(g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
