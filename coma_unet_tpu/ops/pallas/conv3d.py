@@ -251,7 +251,13 @@ def _bwd(k, res, g):
     else:
         w_t = w.transpose(1, 0, 2, 3, 4)
     dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
-    dw = _pallas_conv3d_dw(x, g, k)
+    if x.shape[1] == 1:
+        # Mosaic rejects the [1, H*W] reshape in the dw kernel; the
+        # single-input-channel weight grad is tiny — use XLA's path.
+        _, w_vjp = jax.vjp(lambda w_: _xla_conv(x, w_, k), w)
+        (dw,) = w_vjp(g)
+    else:
+        dw = _pallas_conv3d_dw(x, g, k)
     return dx.astype(x.dtype), dw.astype(w.dtype)
 
 
