@@ -41,7 +41,7 @@ def _gaussian_kernel1d(size: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("win_size", "kernel", "reduce"))
+@partial(jax.jit, static_argnames=("win_size", "kernel", "reduce", "kernel_sigma"))
 def ssim3d(
     pred: jnp.ndarray,
     target: jnp.ndarray,
