@@ -609,13 +609,15 @@ class ProjectionHead(nn.Module):
     1x1x1 ConvBlock to one channel -> flatten -> ReLU."""
 
     norm: str = "instance"
+    use_pallas: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         x = ConvBlock(
-            out_channels=1, kernel_size=1, norm=self.norm, dtype=self.dtype,
+            out_channels=1, kernel_size=1, norm=self.norm,
+            use_pallas=self.use_pallas, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv",
         )(x, train=train)
         x = x.reshape(x.shape[0], -1)

@@ -92,8 +92,8 @@ class ContraAttnUNet(nn.Module):
         if with_projections:
             projections = tuple(
                 ProjectionHead(
-                    norm=cfg.norm, dtype=dtype, param_dtype=pdtype,
-                    name=f"proj{i}",
+                    norm=cfg.norm, use_pallas=cfg.pallas_convs, dtype=dtype,
+                    param_dtype=pdtype, name=f"proj{i}",
                 )(feats.encoder[i], train=train)
                 for i in range(cfg.depth)
             )
