@@ -89,3 +89,15 @@ def test_dw_kernel_matches_xla_interpret():
     (want,) = w_vjp(g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_packed_w64_matches_xla_interpret():
+    from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_w64
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 8, 64)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 4, 3, 3, 3)) * 0.1, jnp.float32)
+    got = pallas_conv3d_w64(x, w, interpret=True)
+    want = _xla_conv(x, w, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
