@@ -23,9 +23,11 @@ TPU memory tiles the last two dims to (sublane, 128-lane); this network's
 channel counts are tiny (1..32) at full 128^3 resolution, so a channels-last
 layout would pad the lane dim up to 128x (measured: 8.9 GB of activations
 ballooning to 32.8 GB of padded HBO). With W=128 on lanes and H on sublanes,
-full-resolution tensors tile exactly. The expert-mixture conv executes as ONE
-grouped `conv_general_dilated` (groups = batch) instead of a per-sample
-Python loop; bfloat16 compute with float32 params and float32 norm stats.
+full-resolution tensors tile exactly. The expert-mixture conv unrolls into B
+dense convs for small batches (XLA's grouped-conv lowering measured ~40%
+slower) and falls back to one grouped `conv_general_dilated` otherwise;
+stride-1 small-channel convs route through the Pallas direct-conv kernel
+(`ops/pallas/conv3d.py`); bfloat16 compute, float32 params and norm stats.
 """
 
 from __future__ import annotations
