@@ -101,3 +101,16 @@ def test_packed_w64_matches_xla_interpret():
     want = _xla_conv(x, w, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_instance_norm_interpret():
+    from coma_unet_tpu.ops.pallas.instance_norm import pallas_instance_norm
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 4, 6, 8, 128)).astype(np.float32) * 3 + 1)
+    got = np.asarray(pallas_instance_norm(x, act="relu", interpret=True))
+    xf = np.asarray(x)
+    m = xf.mean(axis=(2, 3, 4), keepdims=True)
+    v = xf.var(axis=(2, 3, 4), keepdims=True)
+    want = np.maximum((xf - m) / np.sqrt(v + 1e-5), 0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
