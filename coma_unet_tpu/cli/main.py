@@ -239,8 +239,6 @@ def cmd_train(args) -> int:
         # a fresh model per fold, fold_k/ subdirs, cross-fold averaging.
         folds = list(range(1, 6))
 
-    import numpy as np_  # local alias; np already imported module-level
-
     fold_metrics = []
     for k in folds:
         fold_cfg = _dc.replace(

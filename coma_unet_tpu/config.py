@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # The 36 Braak-region FreeSurfer ROI indices and names used everywhere in the

@@ -5,7 +5,7 @@ N-pair become closed-form broadcasted reductions.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ sample's matching template is the positive and the other 7 are negatives."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ MAPE% / RSE / RRMSE / SSIM / per-ROI MAE/MAPE/RSE/wRRMSE / per-ROI Pearson r.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -17,7 +17,7 @@ see covariate[..., :5]; UpBlocks and the 1x1 reduce conv see all 6.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import flax.struct

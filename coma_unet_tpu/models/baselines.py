@@ -22,7 +22,6 @@ from coma_unet_tpu.models.blocks import (
     AttentionGate,
     ConvBlock,
     Convolution,
-    get_act,
 )
 
 Dtype = object

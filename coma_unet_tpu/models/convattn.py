@@ -5,8 +5,6 @@ vector. Paired with the Weighted* losses (`criterions.py:214-296`)."""
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

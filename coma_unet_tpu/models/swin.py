@@ -12,7 +12,7 @@ tables. LayerNorm/softmax in f32, matmuls bf16.
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,6 @@ an XLA reduce (tiny output).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

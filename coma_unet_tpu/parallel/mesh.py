@@ -21,7 +21,6 @@ mesh for tests; multi-host DCN extends through the same mesh abstraction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Sequence
 
 import jax

@@ -11,7 +11,6 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from coma_unet_tpu.train.optim import ReduceLROnPlateau

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from coma_unet_tpu.config import ExperimentConfig, ROI_INDICES
-from coma_unet_tpu.losses.roi_losses import update_roi_weights, update_voxel_weights
+from coma_unet_tpu.losses.roi_losses import update_roi_weights
 from coma_unet_tpu.metrics.aggregate import MetricAccumulator, MetricResults
 from coma_unet_tpu.train.checkpoint import CheckpointManager
 from coma_unet_tpu.train.optim import ReduceLROnPlateau, get_lr, make_optimizer, set_lr

@@ -18,7 +18,7 @@ AdamW update — is one compiled XLA program here. Batches are dict pytrees:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
 import jax
