@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--data_parallel", type=int, default=1)
         sp.add_argument("--norm", default="instance")
         sp.add_argument("--compute_dtype", default="bfloat16")
+        sp.add_argument("--voxel_wise", action="store_true",
+                        help="voxel-wise RoiMSE weight grid + adaptive voxel "
+                             "updates (criterions.py:135-168)")
+        sp.add_argument("--roi_template", default=None,
+                        help="template ROI mask NIfTI for the voxel-wise "
+                             "weight grid (data_util.load_template)")
+        sp.add_argument("--holdout_ids", default=None,
+                        help="subjects excluded from training: comma-separated"
+                             " ids or a file with one id per line "
+                             "(data_util.filter_for_holdout)")
 
     t = sub.add_parser("train", help="train a model on fold lookups")
     common(t)
@@ -87,6 +97,16 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_holdout_ids(spec: Optional[str]):
+    """Comma-separated ids, or a file of one id per line."""
+    if not spec:
+        return ()
+    if os.path.isfile(spec):
+        with open(spec) as f:
+            return tuple(line.strip() for line in f if line.strip())
+    return tuple(s.strip() for s in spec.split(",") if s.strip())
+
+
 def _experiment_config(args):
     from coma_unet_tpu.config import (
         DataConfig, ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
@@ -112,6 +132,28 @@ def _experiment_config(args):
             cfg = dataclasses.replace(cfg, save_path=args.save_path)
         if getattr(args, "model_type", "ContraAttnUNET") != "ContraAttnUNET":
             cfg = dataclasses.replace(cfg, model_type=args.model_type)
+        train_overrides = {}
+        if getattr(args, "data_parallel", 1) != 1:
+            train_overrides["data_parallel"] = args.data_parallel
+        if getattr(args, "batch_size", 2) != 2:
+            train_overrides["batch_size"] = args.batch_size
+        if train_overrides:
+            cfg = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train, **train_overrides)
+            )
+        if getattr(args, "voxel_wise", False):
+            cfg = dataclasses.replace(
+                cfg, loss=dataclasses.replace(cfg.loss, voxel_wise=True)
+            )
+        late_data = {}
+        if getattr(args, "roi_template", None):
+            late_data["roi_template_path"] = args.roi_template
+        if getattr(args, "holdout_ids", None):
+            late_data["holdout_ids"] = _parse_holdout_ids(args.holdout_ids)
+        if late_data:
+            cfg = dataclasses.replace(
+                cfg, data=dataclasses.replace(cfg.data, **late_data)
+            )
         return cfg
     model = ModelConfig(
         conditional=args.covariates,
@@ -122,6 +164,7 @@ def _experiment_config(args):
     loss = LossConfig(
         rnc=args.rnc,
         roi_weight=1.0 if args.template_space else 225.0,
+        voxel_wise=getattr(args, "voxel_wise", False),
     )
     train_cfg = TrainConfig(
         epochs=getattr(args, "epochs", 61),
@@ -137,6 +180,8 @@ def _experiment_config(args):
         fold=args.fold,
         template_space=args.template_space,
         smoothing=args.smoothing,
+        roi_template_path=getattr(args, "roi_template", None) or "",
+        holdout_ids=_parse_holdout_ids(getattr(args, "holdout_ids", None)),
     )
     return ExperimentConfig(
         model=model, loss=loss, train=train_cfg, data=data,
@@ -208,10 +253,24 @@ def _build_loaders(args, config):
         test_ds = PredictedMetaTauDataset(test_csv, cov, quart,
                                           meta_tau_table=preds, **ds_kwargs)
     roi_idx = _roi_indices(config)
+    # holdout subjects are excluded from TRAINING only (the reference filters
+    # every training batch, `attn_unet_data_parallel.py:785-791` — its mask
+    # is broken, see data/lookup.filter_for_holdout)
+    sampler = None
+    if config.data.holdout_ids:
+        from coma_unet_tpu.data.lookup import filter_for_holdout
+
+        ids = [train_ds.sample_id(i) for i in range(len(train_ds))]
+        keep = filter_for_holdout(ids, config.data.holdout_ids)
+        sampler = [i for i, k in enumerate(keep) if k]
+        logging.getLogger(__name__).info(
+            "holdout filter: %d/%d training samples kept",
+            len(sampler), len(train_ds),
+        )
     train_loader = DataLoader(
         train_ds, config.train.batch_size, predictions=preds, shuffle=True,
         with_triplets=not config.loss.rnc, drop_last=False,
-        roi_indices=roi_idx,
+        roi_indices=roi_idx, sampler=sampler,
     )
     test_loader = DataLoader(test_ds, config.train.batch_size,
                              predictions=preds, roi_indices=roi_idx)
@@ -253,7 +312,7 @@ def cmd_train(args) -> int:
         resume = args.checkpoint_path if args.resume_training else None
         train(model, fold_cfg, train_loader, val_loader=test_loader,
               save_path=fold_dir, resume_from=resume,
-              num_rois=len(_roi_indices(fold_cfg)))
+              roi_indices=_roi_indices(fold_cfg))
         # final evaluation for cross-fold averaging
         mape_csv = os.path.join(fold_dir, "validation_metric_results",
                                 "mape.csv")
@@ -272,7 +331,6 @@ def cmd_train(args) -> int:
 def cmd_validate(args) -> int:
     import jax
 
-    from coma_unet_tpu.config import ROI_INDICES
     from coma_unet_tpu.data import (
         CovariateTable, DataLoader, PredictedMetaTauDataset, PredictionTable,
     )
@@ -295,7 +353,11 @@ def cmd_validate(args) -> int:
         template_space=config.data.template_space,
         pad_dims=config.data.volume_shape,
     )
-    loader = DataLoader(ds, config.train.batch_size, predictions=preds)
+    # template space evaluates the Yeo template ROI set, not the 36
+    # FreeSurfer Braak regions (`validation.py:66-68`)
+    roi_idx = _roi_indices(config)
+    loader = DataLoader(ds, config.train.batch_size, predictions=preds,
+                        roi_indices=roi_idx)
     example = next(iter(loader))
     state = create_train_state(
         model, make_optimizer(config.train.lr), jax.random.PRNGKey(0),
@@ -307,9 +369,30 @@ def cmd_validate(args) -> int:
         mgr = CheckpointManager(os.path.dirname(
             os.path.dirname(args.checkpoint_path)))
         state, _, _ = mgr.restore(state, args.checkpoint_path)
-    eval_step = make_eval_step(model, len(ROI_INDICES))
+    put = None
+    dp = max(int(config.train.data_parallel), 1)
+    if dp > 1:
+        # sharded evaluation over the DP mesh (SURVEY §2.8)
+        from functools import partial
+
+        from coma_unet_tpu.parallel.mesh import (
+            make_mesh, make_sharded_eval_step, replicate_state, shard_batch,
+        )
+
+        if config.train.batch_size % dp:
+            raise SystemExit(
+                f"batch_size {config.train.batch_size} must be divisible by "
+                f"data_parallel {dp}"
+            )
+        mesh = make_mesh(data=dp)
+        state = replicate_state(state, mesh)
+        eval_step = make_sharded_eval_step(model, mesh, len(roi_idx))
+        put = partial(shard_batch, mesh=mesh)
+    else:
+        eval_step = make_eval_step(model, len(roi_idx))
     general, pos, neg, _ = evaluate(
-        eval_step, state, loader, len(ROI_INDICES), save_path=args.save_path
+        eval_step, state, loader, len(roi_idx), save_path=args.save_path,
+        device_put=put,
     )
     for tag, res in (("overall", general), ("abeta+", pos), ("abeta-", neg)):
         print(f"[{tag}] MAE={res.mae:.4f} MAPE={res.mape:.2f}% "

@@ -160,6 +160,10 @@ class DataConfig:
     mri_file_type: Optional[str] = None
     tau_file_type: Optional[str] = None
     holdout_ids: Tuple[str, ...] = DEFAULT_HOLDOUT_IDS
+    # ROI template NIfTI for the voxel-wise loss weight grid
+    # (`data_util.load_template`, `criterions.py:135-144`); empty -> the
+    # first training sample's ROI mask is used instead.
+    roi_template_path: str = ""
     prefetch: int = 2
     num_workers: int = 4
     shuffle: bool = True

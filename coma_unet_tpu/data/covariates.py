@@ -83,11 +83,17 @@ class CovariateTable:
         if scale_education_by_30 and "Education" in self.df.columns:
             v = pd.to_numeric(self.df["Education"], errors="coerce")
             self.df["Education_scaled"] = v / 30.0
-        self.means = {
-            c: float(pd.to_numeric(self.df[c], errors="coerce").mean())
-            for c in ("Age", "Sex", "Education", "Cognition", "Abeta_Covar")
-            if c in self.df.columns
-        }
+        # NaN fallbacks must live in the same space as the feature `get`
+        # reads: the reference computes age_mean/edu_mean AFTER scaling
+        # (`VolumeDataset_Inference.py:95-99`), so a missing Age yields ~0.5,
+        # not ~73.
+        self.means = {}
+        for c in ("Age", "Sex", "Education", "Cognition", "Abeta_Covar"):
+            if c in self.df.columns:
+                src = c + "_scaled" if c + "_scaled" in self.df.columns else c
+                self.means[c] = float(
+                    pd.to_numeric(self.df[src], errors="coerce").mean()
+                )
 
     def __contains__(self, sid: str) -> bool:
         return str(sid) in self.df.index

@@ -167,8 +167,12 @@ class DataLoader:
             return
         if self.drop_last and len(batches[-1]) < self.batch_size:
             batches.pop()
-        elif len(batches[-1]) < self.batch_size and len(idxs) >= self.batch_size:
-            # wrap-pad so compiled step shapes stay static
+        valid_counts = [len(b) for b in batches]
+        if (not self.drop_last and len(batches[-1]) < self.batch_size
+                and len(idxs) >= self.batch_size):
+            # wrap-pad so compiled step shapes stay static; the padded rows
+            # are flagged invalid so eval never double-counts them (the
+            # reference evaluates each sample exactly once).
             need = self.batch_size - len(batches[-1])
             batches[-1] = batches[-1] + idxs[:need]
 
@@ -177,12 +181,13 @@ class DataLoader:
 
         def produce():
             with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
+                for b, n_valid in zip(batches, valid_counts):
                     if stop.is_set():
                         return
                     samples = list(pool.map(self.dataset.__getitem__, b))
                     batch = collate(samples, self.predictions,
                                     self.with_triplets, self.roi_indices)
+                    batch["valid"] = np.arange(len(b)) < n_valid
                     if self.device_put is not None:
                         batch = self.device_put(batch)
                     out_q.put(batch)

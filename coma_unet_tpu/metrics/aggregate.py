@@ -116,17 +116,22 @@ class MetricAccumulator:
         self.neg = _Split(num_rois)
         self._voxel_rel_sum: Optional[np.ndarray] = None
 
-    def update(self, vox: Dict, roi: Dict, abeta, sample_ids=None):
+    def update(self, vox: Dict, roi: Dict, abeta, sample_ids=None, valid=None):
+        """`valid` is the per-sample mask flagging wrap-padded duplicate rows
+        from the static-shape loader; padded rows are excluded from every
+        split (and from the pred/gt matrices)."""
         vox = {k: np.asarray(v) for k, v in vox.items()}
         roi = {k: np.asarray(v) for k, v in roi.items()}
         abeta = np.asarray(abeta).reshape(-1)
         b = abeta.shape[0]
+        valid = (np.ones(b, dtype=bool) if valid is None
+                 else np.asarray(valid).reshape(-1).astype(bool))
         if "abs_rel_vol" in vox:
-            s = vox["abs_rel_vol"].sum(axis=0).squeeze()
+            s = vox["abs_rel_vol"][valid].sum(axis=0).squeeze()
             self._voxel_rel_sum = s if self._voxel_rel_sum is None else self._voxel_rel_sum + s
-        self.overall.update(vox, roi, np.ones(b, dtype=bool), sample_ids)
-        self.pos.update(vox, roi, abeta == 1, sample_ids)
-        self.neg.update(vox, roi, abeta == 0, sample_ids)
+        self.overall.update(vox, roi, valid, sample_ids)
+        self.pos.update(vox, roi, valid & (abeta == 1), sample_ids)
+        self.neg.update(vox, roi, valid & (abeta == 0), sample_ids)
 
     def results(self):
         return (

@@ -60,9 +60,15 @@ def replicate_sharding(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+# Batch keys that stay on host (strings / bookkeeping masks), never sharded.
+HOST_BATCH_KEYS = ("sample_ids", "tau_paths", "valid")
+
+
 def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh, spatial: bool = False):
     """Place a host batch dict onto the mesh: batch dim over 'data' (and the
-    volume depth over 'spatial' when requested, for GSPMD inference)."""
+    volume depth over 'spatial' when requested, for GSPMD inference).
+    Host-side bookkeeping entries (`HOST_BATCH_KEYS`) pass through untouched,
+    so the loader's `device_put` hook can take the whole collated batch."""
 
     def _put(x):
         x = jnp.asarray(x)
@@ -70,7 +76,9 @@ def shard_batch(batch: Dict[str, jnp.ndarray], mesh: Mesh, spatial: bool = False
         ax = (2 if x.ndim == 5 else 1) if (spatial and x.ndim >= 4) else None
         return jax.device_put(x, batch_sharding(mesh, x.ndim, ax))
 
-    return {k: _put(v) for k, v in batch.items()}
+    return {
+        k: (v if k in HOST_BATCH_KEYS else _put(v)) for k, v in batch.items()
+    }
 
 
 def replicate_state(state, mesh: Mesh):
@@ -82,7 +90,7 @@ def _batch_specs(batch: Dict[str, Any]) -> Dict[str, P]:
 
 
 def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
-                            donate: bool = True):
+                            donate: bool = True, return_grads: bool = False):
     """DP train step via shard_map; numerically identical to the single-device
     `train.step.make_train_step` on the concatenated batch.
 
@@ -106,10 +114,10 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
     # identical coupled value, so after `psum(grads)` the coupled term's
     # gradient is counted exactly once and the summed gen term exactly once —
     # psum(local_obj) is then exactly the reference's total loss.
-    def local_loss(params, batch_stats, batch, roi_weights, rng):
+    def local_loss(params, batch_stats, batch, roi_weights, rng, voxel_weights):
         outs, new_bs = _apply(model, params, batch_stats, batch, "", True, rng, True)
         gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"], roi_weights,
-                      reduction=None)
+                      voxel_weights=voxel_weights, reduction=None)
         obj = cfg.gen_weight * jnp.sum(gen)
         if cfg.rnc:
             feats = jax.lax.all_gather(
@@ -139,14 +147,19 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
 
     state_spec = P()  # replicated
 
-    def spmd_step(state, batch, roi_weights, rng):
+    def spmd_step(state, batch, roi_weights, rng, voxel_weights):
         (obj, aux), grads = jax.value_and_grad(local_loss, has_aux=True)(
-            state.params, state.batch_stats, batch, roi_weights, rng
+            state.params, state.batch_stats, batch, roi_weights, rng,
+            voxel_weights,
         )
         grads = jax.lax.psum(grads, "data")
-        new_state = state.apply_gradients(grads).replace(
-            batch_stats=aux.pop("batch_stats")
-        )
+        # batch_stats come from each shard's local slice; pmean keeps the
+        # replicated state actually replicated (SyncBN semantics when
+        # ModelConfig.norm == 'batch').
+        new_bs = aux.pop("batch_stats")
+        if new_bs:
+            new_bs = jax.lax.pmean(new_bs, "data")
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         aux["loss"] = jax.lax.psum(jax.lax.stop_gradient(obj), "data")
         aux["gen_loss"] = jax.lax.all_gather(
             aux["gen_loss"], "data", axis=0, tiled=True
@@ -156,17 +169,19 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
                 jax.lax.stop_gradient(aux["tcds_loss"]), "data"
             )
         aux["grad_norm"] = optax_global_norm(grads)
+        if return_grads:
+            aux["grads"] = grads  # psum'd (replicated) — test/debug only
         return new_state, aux
 
-    def step(state, batch, roi_weights, rng):
+    def step(state, batch, roi_weights, rng, voxel_weights=None):
         shard = jax.shard_map(
             spmd_step,
             mesh=mesh,
-            in_specs=(state_spec, _batch_specs(batch), P(), P()),
+            in_specs=(state_spec, _batch_specs(batch), P(), P(), P()),
             out_specs=(state_spec, P()),
             check_vma=False,
         )
-        return shard(state, batch, roi_weights, rng)
+        return shard(state, batch, roi_weights, rng, voxel_weights)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

@@ -101,6 +101,7 @@ bool load_nifti(const char* path, Volume& v) {
     return false;
   int ndim = h.dim[0];
   if (ndim < 3) return false;
+  if (h.dim[1] <= 0 || h.dim[2] <= 0 || h.dim[3] <= 0) return false;
   v.nx = h.dim[1];
   v.ny = h.dim[2];
   v.nz = h.dim[3];
@@ -108,8 +109,23 @@ bool load_nifti(const char* path, Volume& v) {
   v.sy = fabsf(h.pixdim[2]);
   v.sz = fabsf(h.pixdim[3]);
   int64_t n = v.nx * v.ny * v.nz;
+  // Element size must come from the datatype code (what decode_typed reads),
+  // not bitpix: a corrupt file with bitpix=8 + datatype=float32 would pass a
+  // bitpix-based size check and overread the buffer.
+  size_t elem_size;
+  switch (h.datatype) {
+    case 2: case 256: elem_size = 1; break;
+    case 4: case 512: elem_size = 2; break;
+    case 8: case 16: case 768: elem_size = 4; break;
+    case 64: elem_size = 8; break;
+    default: return false;
+  }
+  // Single-file (.nii, "n+1") data must start past the header (spec: >= 352).
+  if (memcmp(h.magic, "n+1", 3) == 0 && !(h.vox_offset >= 348.f)) return false;
+  if (h.vox_offset < 0.f) return false;
   size_t off = static_cast<size_t>(h.vox_offset);
-  if (raw.size() < off + n * (h.bitpix / 8)) return false;
+  if (raw.size() < off || raw.size() - off < static_cast<size_t>(n) * elem_size)
+    return false;
   // file order: x fastest -> store as (z, y, x) C-order == same linear order
   v.data.resize(n);
   const uint8_t* src = raw.data() + off;

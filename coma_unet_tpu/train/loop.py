@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from coma_unet_tpu.config import ExperimentConfig, ROI_INDICES
-from coma_unet_tpu.losses.roi_losses import update_roi_weights
+from coma_unet_tpu.losses.roi_losses import (
+    make_voxel_weights,
+    update_roi_weights,
+    update_voxel_weights,
+)
 from coma_unet_tpu.metrics.aggregate import MetricAccumulator, MetricResults
 from coma_unet_tpu.train.checkpoint import CheckpointManager
 from coma_unet_tpu.train.optim import ReduceLROnPlateau, get_lr, make_optimizer, set_lr
@@ -41,30 +45,41 @@ def evaluate(
     save_path: str = "",
     save_matrices: bool = True,
     save_samples: int = 0,
+    device_put=None,
 ) -> Tuple[MetricResults, MetricResults, MetricResults, Optional[np.ndarray]]:
     """`contrastive_test` equivalent: run the jitted eval step over the
     loader, accumulate overall/pos/neg metrics + per-ROI Pearson r.
     `save_samples` > 0 writes the first N (pred, gt) pairs as NIfTI
     (representative-sample dumps, ref `attn_unet_data_parallel.py:1503-1522`).
+    `device_put` (e.g. `parallel.shard_batch`) places each batch on the mesh
+    when `eval_step` is the sharded multi-chip step.
     """
     acc = MetricAccumulator(num_rois)
     saved = 0
     for batch in loader:
         db = {k: v for k, v in batch.items()
-              if k not in ("sample_ids", "tau_paths")}
+              if k not in ("sample_ids", "tau_paths", "valid")}
+        if device_put is not None:
+            db = device_put(db)
         pred, vox, roi = eval_step(state, db)
-        acc.update(vox, roi, batch["abeta"], batch.get("sample_ids"))
+        valid = batch.get("valid")
+        acc.update(vox, roi, batch["abeta"], batch.get("sample_ids"),
+                   valid=valid)
         if save_path and saved < save_samples:
             from coma_unet_tpu.io.volume import write_tensor_to_nii
 
             p = np.asarray(pred)
             t = np.asarray(batch["tau"])
+            vmask = (np.ones(p.shape[0], bool) if valid is None
+                     else np.asarray(valid).reshape(-1).astype(bool))
             ids = batch.get("sample_ids") or [
                 f"sample{saved + j}" for j in range(p.shape[0])
             ]
             for j in range(p.shape[0]):
                 if saved >= save_samples:
                     break
+                if not vmask[j]:
+                    continue
                 sid = str(ids[j]).replace("/", "_")
                 write_tensor_to_nii(
                     p[j], os.path.join(save_path, f"{sid}_pred.nii")
@@ -88,14 +103,47 @@ def train(
     train_step=None,
     eval_step=None,
     resume_from: Optional[str] = None,
-    num_rois: int = len(ROI_INDICES),
+    num_rois: Optional[int] = None,
+    roi_indices=ROI_INDICES,
 ) -> TrainState:
+    if num_rois is None:
+        num_rois = len(roi_indices)
     tcfg, lcfg = config.train, config.loss
     save_path = save_path or config.save_path
     os.makedirs(save_path, exist_ok=True)
 
+    # --- multi-chip mesh (SURVEY §2.8: the DP capability the reference only
+    # aspires to — `attn_unet_data_parallel.py:32`, never enabled) -----------
+    mesh = None
+    put = None
+    dp = max(int(tcfg.data_parallel), 1)
+    sp = max(int(tcfg.spatial_parallel), 1)
+
     # --- build state --------------------------------------------------------
+    # The init example must be drawn BEFORE the loaders get a sharding
+    # device_put hook: model.init on a GSPMD-sharded batch would try to
+    # partition the grouped expert-mixture conv along its group dim and fail.
     example = next(iter(train_loader))
+
+    if dp * sp > 1:
+        from functools import partial
+
+        from coma_unet_tpu.parallel.mesh import make_mesh, shard_batch
+
+        if tcfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} must be divisible by "
+                f"data_parallel {dp}"
+            )
+        mesh = make_mesh(data=dp, spatial=sp)
+        put = partial(shard_batch, mesh=mesh, spatial=sp > 1)
+        # stage device placement inside the loader's prefetch threads so the
+        # host->device transfer overlaps the previous step's compute
+        for ld in (train_loader, val_loader):
+            if ld is not None and getattr(ld, "device_put", False) is None:
+                ld.device_put = put
+        log.info("data-parallel mesh: %d-way data x %d-way spatial", dp, sp)
+
     tx = make_optimizer(tcfg.lr, tcfg.weight_decay, tcfg.grad_acc)
     rng = jax.random.PRNGKey(tcfg.seed)
     state = create_train_state(
@@ -114,6 +162,16 @@ def train(
         start_epoch = last_epoch + 1
         log.info("resumed from %s at epoch %d", resume_from, start_epoch)
 
+    if mesh is not None:
+        from coma_unet_tpu.parallel.mesh import (
+            make_sharded_eval_step, make_sharded_train_step, replicate_state,
+        )
+
+        state = replicate_state(state, mesh)
+        if train_step is None:
+            train_step = make_sharded_train_step(model, lcfg, mesh, donate=True)
+        if eval_step is None:
+            eval_step = make_sharded_eval_step(model, mesh, num_rois)
     if train_step is None:
         # donate the previous state's buffers — halves optimizer-state HBM
         train_step = make_train_step(model, lcfg, donate=True)
@@ -121,6 +179,27 @@ def train(
         eval_step = make_eval_step(model, num_rois)
 
     roi_weights = jnp.full((num_rois,), lcfg.roi_weight, dtype=jnp.float32)
+    # voxel-wise loss mode (`RoiMSE(voxel_wise=True)`, `criterions.py:135-144`):
+    # the weight grid comes from the ROI template (or, absent a template path,
+    # the first training sample's ROI mask) and is adaptively updated from the
+    # accumulated validation voxel-MAPE grid (ref :983-991).
+    voxel_weights = None
+    if lcfg.voxel_wise:
+        if config.data.roi_template_path:
+            from coma_unet_tpu.data.pipeline import compact_roi_np
+            from coma_unet_tpu.io.volume import load_template
+
+            tpl = load_template(
+                config.data.roi_template_path,
+                target=config.data.volume_shape,
+                resize=config.data.resize,
+            )
+            tpl_compact = compact_roi_np(tpl, roi_indices=roi_indices)
+        else:
+            tpl_compact = np.asarray(example["roi_compact"][0])
+        voxel_weights = make_voxel_weights(
+            jnp.asarray(tpl_compact), roi_weights
+        )
     recorder = MetricRecorder(save_path)
     pos_recorder = MetricRecorder(os.path.join(save_path, "pos_metrics"))
     neg_recorder = MetricRecorder(os.path.join(save_path, "neg_metrics"))
@@ -137,28 +216,40 @@ def train(
         n = n_pos = n_neg = 0
         for batch_idx, batch in enumerate(train_loader):
             db = {k: v for k, v in batch.items()
-                  if k not in ("sample_ids", "tau_paths")}
+                  if k not in ("sample_ids", "tau_paths", "valid")}
+            if put is not None:
+                db = put(db)  # no-op when the loader already sharded it
             rng, sub = jax.random.split(rng)
-            state, aux = train_step(state, db, roi_weights, sub)
+            if voxel_weights is not None:
+                state, aux = train_step(state, db, roi_weights, sub,
+                                        voxel_weights)
+            else:
+                state, aux = train_step(state, db, roi_weights, sub)
             bl = float(aux["loss"])
             gen = np.asarray(aux["gen_loss"])  # per-sample
             tcds = float(aux["tcds_loss"])
+            valid = batch.get("valid")
+            valid = (np.ones(gen.shape[0], bool) if valid is None
+                     else np.asarray(valid).reshape(-1).astype(bool))
             epoch_loss += bl
-            epoch_gen += float(gen.sum())
+            epoch_gen += float(gen[valid].sum())
             epoch_tcds += tcds
-            n += gen.shape[0]
+            n += int(valid.sum())
             abeta = np.asarray(batch["abeta"]).reshape(-1)
-            # pos/neg bookkeeping by abeta (ref :901-910)
-            pos_loss += float(gen[abeta == 1].sum()) + tcds * (abeta == 1).any()
-            neg_loss += float(gen[abeta == 0].sum()) + tcds * (abeta == 0).any()
-            n_pos += int((abeta == 1).sum())
-            n_neg += int((abeta == 0).sum())
+            is_pos, is_neg = valid & (abeta == 1), valid & (abeta == 0)
+            # pos/neg bookkeeping by abeta, with the contrastive term added
+            # once per matching sample (ref :901-910 accumulates
+            # total_ds_contra_loss per positive/negative sample)
+            pos_loss += float(gen[is_pos].sum()) + tcds * int(is_pos.sum())
+            neg_loss += float(gen[is_neg].sum()) + tcds * int(is_neg.sum())
+            n_pos += int(is_pos.sum())
+            n_neg += int(is_neg.sum())
             if batch_idx % 10 == 0:
                 log.info("epoch %d batch %d loss %.4f", epoch, batch_idx, bl)
 
         avg = epoch_loss / max(n, 1)
         new_lr = scheduler.step(avg, get_lr(state.opt_state))
-        set_lr(state.opt_state, new_lr)
+        state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
         hist["avg"].append(avg)
         hist["total"].append(epoch_loss)
         hist["gen_avg"].append(epoch_gen / max(n, 1))
@@ -186,20 +277,28 @@ def train(
             os.makedirs(val_dir, exist_ok=True)
             general, pos, neg, voxel_mape = evaluate(
                 eval_step, state, val_loader, num_rois, save_path=val_dir,
-                save_samples=2,
+                save_samples=2, device_put=put,
             )
             recorder.record(general, epoch)
             pos_recorder.record(pos, epoch)
             neg_recorder.record(neg, epoch)
             recorder.plot(); pos_recorder.plot(); neg_recorder.plot()
-            # adaptive ROI weights from validation MAPE (ref :983-991)
+            # adaptive weights from validation MAPE (ref :983-991): the
+            # voxel grid in voxel_wise mode, the per-ROI vector otherwise
             if tcfg.adaptive_roi_weights:
-                errors = jnp.asarray(general.roi_mapes / 100.0, jnp.float32)
-                roi_weights = update_roi_weights(
-                    roi_weights, errors, lcfg.scale_factor
-                )
-                log.info("updated roi weights: mean %.2f max %.2f",
-                         float(roi_weights.mean()), float(roi_weights.max()))
+                if voxel_weights is not None and voxel_mape is not None:
+                    errors = jnp.asarray(voxel_mape / 100.0, jnp.float32)
+                    voxel_weights = update_voxel_weights(voxel_weights, errors)
+                    log.info("updated voxel weights: mean %.4f max %.4f",
+                             float(voxel_weights.mean()),
+                             float(voxel_weights.max()))
+                else:
+                    errors = jnp.asarray(general.roi_mapes / 100.0, jnp.float32)
+                    roi_weights = update_roi_weights(
+                        roi_weights, errors, lcfg.scale_factor
+                    )
+                    log.info("updated roi weights: mean %.2f max %.2f",
+                             float(roi_weights.mean()), float(roi_weights.max()))
             if general.mape < best_mape:
                 best_mape = general.mape
                 log.info("lowest MAPE so far at epoch %d: %.3f", epoch, best_mape)
@@ -213,7 +312,8 @@ def train(
                 and epoch % tcfg.overfit_val_iter == 0):
             log.info("in-sample (overfit) validation at epoch %d", epoch)
             general, pos, neg, _ = evaluate(
-                eval_step, state, train_loader, num_rois, save_matrices=False
+                eval_step, state, train_loader, num_rois, save_matrices=False,
+                device_put=put,
             )
             log.info("in-sample MAE %.4f MAPE %.2f SSIM %.4f",
                      general.mae, general.mape, general.ssim)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax.numpy as jnp
 import optax
 
 
@@ -37,11 +38,23 @@ def get_lr(opt_state) -> float:
 
 
 def set_lr(opt_state, lr: float):
-    hp = _find_hyperparams(opt_state)
-    hp["learning_rate"] = type(hp["learning_rate"])(lr) if not hasattr(
-        hp["learning_rate"], "dtype"
-    ) else hp["learning_rate"].dtype.type(lr)
-    return opt_state
+    """Return a copy of `opt_state` with the injected learning rate replaced.
+
+    Functional (no in-place mutation of the hyperparams dict) so it is safe
+    under buffer donation and independent of `inject_hyperparams` internals.
+    """
+    if hasattr(opt_state, "hyperparams"):
+        old = opt_state.hyperparams["learning_rate"]
+        new = (jnp.asarray(lr, old.dtype) if hasattr(old, "dtype")
+               else type(old)(lr))
+        hp = dict(opt_state.hyperparams)
+        hp["learning_rate"] = new
+        return opt_state._replace(hyperparams=hp)
+    if hasattr(opt_state, "inner_opt_state"):  # MultiSteps wrapper
+        return opt_state._replace(
+            inner_opt_state=set_lr(opt_state.inner_opt_state, lr)
+        )
+    raise ValueError("optimizer state has no injected hyperparams")
 
 
 def _find_hyperparams(opt_state):

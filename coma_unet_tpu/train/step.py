@@ -84,12 +84,15 @@ def make_train_step(
     model,
     loss_config: LossConfig,
     donate: bool = True,
+    return_grads: bool = False,
 ) -> Callable:
-    """Returns train_step(state, batch, roi_weights, rng) -> (state, metrics)."""
+    """Returns train_step(state, batch, roi_weights, rng) -> (state, metrics).
+    `return_grads` adds the raw gradient pytree to the metrics dict (test /
+    debug only — doubles the step's live memory)."""
     criterion = GenerativeContrastiveLoss(loss_config)
     rnc = loss_config.rnc
 
-    def loss_fn(params, batch_stats, batch, roi_weights, rng):
+    def loss_fn(params, batch_stats, batch, roi_weights, rng, voxel_weights):
         outs, new_bs = _apply(
             model, params, batch_stats, batch, "", True, rng, True
         )
@@ -99,14 +102,15 @@ def make_train_step(
             from coma_unet_tpu.losses.roi_losses import roi_mse
 
             gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"],
-                          roi_weights, reduction=None)
+                          roi_weights, voxel_weights=voxel_weights,
+                          reduction=None)
             total = loss_config.gen_weight * jnp.sum(gen)
             zero = jnp.asarray(0.0, jnp.float32)
             return total, {
                 "loss": total, "gen_loss": gen, "pred_space_loss": zero,
                 "tcds_loss": zero, "batch_stats": new_bs,
             }
-        kwargs: Dict[str, Any] = {}
+        kwargs: Dict[str, Any] = {"voxel_weights": voxel_weights}
         if rnc:
             # RnC pseudo-batch (`attn_unet_data_parallel.py:833-845`): features
             # are the final-level projections; labels the covariate vectors.
@@ -145,14 +149,18 @@ def make_train_step(
         batch: Dict[str, jnp.ndarray],
         roi_weights: jnp.ndarray,
         rng: jax.Array,
+        voxel_weights: jnp.ndarray = None,
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, roi_weights, rng
+            state.params, state.batch_stats, batch, roi_weights, rng,
+            voxel_weights,
         )
         new_state = state.apply_gradients(grads).replace(
             batch_stats=aux.pop("batch_stats")
         )
         aux["grad_norm"] = optax_global_norm(grads)
+        if return_grads:
+            aux["grads"] = grads
         return new_state, aux
 
     return train_step

@@ -77,6 +77,38 @@ def test_cli_train_and_validate(cohort, tiny_config_file, tmp_path):  # noqa: F8
     assert rc == 0
 
 
+def test_holdout_filtering_excludes_training_subjects(
+    cohort, tiny_config_file, tmp_path,  # noqa: F811
+):
+    """`--holdout_ids` removes the named subjects from the TRAINING loader
+    only (ref `attn_unet_data_parallel.py:785-791` intent; the reference's
+    mask is broken, `data_util.py:701-714`)."""
+    from coma_unet_tpu.cli.main import _build_loaders, _experiment_config
+
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    df = pd.read_csv(cohort["lookup"])
+    df.to_csv(str(splits / "training_lookup_1.csv"), index=False)
+    df.to_csv(str(splits / "test_lookup_1.csv"), index=False)
+    held = "001-S-1001/PET_2020-01-01_FTP"
+    p = build_parser()
+    args = p.parse_args([
+        "train", "--config", tiny_config_file,
+        "--splits_dir", str(splits), "--fold", "1",
+        "--covariate_csv", cohort["cov"], "--quartile_csv", cohort["quart"],
+        "--predictions_json", cohort["preds"],
+        "--holdout_ids", held,
+    ])
+    config = _experiment_config(args)
+    assert config.data.holdout_ids == (held,)
+    train_loader, test_loader = _build_loaders(args, config)
+    train_ids = [i for b in train_loader for i in b["sample_ids"]]
+    test_ids = [i for b in test_loader for i in b["sample_ids"]]
+    assert held not in train_ids
+    assert len(set(train_ids)) == 7
+    assert held in test_ids  # eval still sees the holdout subject
+
+
 def test_cli_infer(cohort, tiny_config_file, tmp_path):  # noqa: F811
     out_dir = str(tmp_path / "synth")
     rc = main([

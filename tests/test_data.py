@@ -1,13 +1,11 @@
 """Dataset / pipeline tests over synthetic NIfTI fixtures."""
 
-import json
-import os
 
 import numpy as np
 import pandas as pd
 import pytest
 
-from coma_unet_tpu.config import ROI_INDICES, ROI_INDEX_TO_NAME
+from coma_unet_tpu.config import ROI_INDICES
 from coma_unet_tpu.data import (
     ClusterVolumeDataset,
     CombinedVolumeDataset,
@@ -23,65 +21,16 @@ from coma_unet_tpu.data import (
     extract_id,
 )
 from coma_unet_tpu.data.covariates import QuartileTable
-from coma_unet_tpu.io.nifti import write_nifti
 
 
 @pytest.fixture(scope="module")
 def cohort(tmp_path_factory):
     """8 synthetic subjects: 16^3 native-space volumes at 2 mm + covar CSV +
-    quartile CSV + prediction JSON."""
+    quartile CSV + prediction JSON (via `data.synthetic.make_synthetic_cohort`)."""
+    from coma_unet_tpu.data.synthetic import make_synthetic_cohort
+
     root = tmp_path_factory.mktemp("cohort")
-    rng = np.random.default_rng(0)
-    rows = []
-    cov_rows = []
-    quart_rows = []
-    preds = {}
-    labels = [0] + list(ROI_INDICES[:5])
-    for i in range(8):
-        sid = f"{i:03d}-S-{1000+i}"
-        d = root / "adni" / sid / "PET_2020-01-01_FTP" / "analysis"
-        d.mkdir(parents=True)
-        mri = rng.uniform(0, 255, size=(16, 16, 16)).astype(np.float32)
-        tau = rng.uniform(0, 2, size=(16, 16, 16)).astype(np.float32)
-        roi = np.asarray(labels)[
-            rng.integers(0, len(labels), size=(16, 16, 16))
-        ].astype(np.float32)
-        for name, vol in (("rnu.nii", mri), ("suvr_cereg.nii", tau),
-                          ("raparc+aseg.nii", roi)):
-            write_nifti(str(d / name), np.transpose(vol, (2, 1, 0)),
-                        spacing=(2.0, 2.0, 2.0))
-        rows.append({
-            "MRI": str(d / "rnu.nii"),
-            "tau": str(d / "suvr_cereg.nii"),
-            "roi": str(d / "raparc+aseg.nii"),
-        })
-        cov_rows.append({
-            "ADNI_ID": f"{sid}/PET_2020-01-01_FTP",
-            "Abeta_Covar": i % 2,
-            "Age": 60 + i, "Sex": "M" if i % 2 else "F",
-            "Education": 12 + i % 5, "Cognition": 20 + i,
-        })
-        quart_rows.append({
-            "ADNI_ID": f"{sid}/PET_2020-01-01_FTP",
-            "quartile_lub": (i % 4) + 1,
-        })
-        preds[f"{sid}/PET_2020-01-01_FTP"] = {
-            ROI_INDEX_TO_NAME[r]: {"loc": float(i), "std": 0.1}
-            for r in ROI_INDICES[:5]
-        }
-        preds[f"{sid}/PET_2020-01-01_FTP"]["Tau_Meta"] = {"loc": 1.0 + i, "std": 0.2}
-    lookup = pd.DataFrame(rows)
-    lookup_csv = str(root / "lookup.csv")
-    lookup.to_csv(lookup_csv, index=False)
-    cov_csv = str(root / "covars.csv")
-    pd.DataFrame(cov_rows).to_csv(cov_csv, index=False)
-    quart_csv = str(root / "quarts.csv")
-    pd.DataFrame(quart_rows).to_csv(quart_csv, index=False)
-    pred_json = str(root / "preds.json")
-    with open(pred_json, "w") as f:
-        json.dump(preds, f)
-    return dict(root=root, lookup=lookup_csv, cov=cov_csv, quart=quart_csv,
-                preds=pred_json)
+    return make_synthetic_cohort(str(root))
 
 
 def test_extract_id():

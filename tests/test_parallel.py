@@ -1,9 +1,13 @@
 """Multi-chip DP/SP tests on the forced 8-device CPU mesh."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+from tests.test_data import cohort  # fixture reuse  # noqa: F401
 
 from coma_unet_tpu.config import LossConfig
 from coma_unet_tpu.models import ContraAttnUNet
@@ -38,11 +42,13 @@ def test_dp_train_step_matches_single_device(tiny_model_config, rng):
     )
     roi_w = jnp.full((36,), 225.0)
 
-    single = make_train_step(model, LossConfig(), donate=False)
+    single = make_train_step(model, LossConfig(), donate=False,
+                             return_grads=True)
     s1, aux1 = single(state, batch, roi_w, rng)
 
     mesh = make_mesh(data=8, spatial=1)
-    sharded = make_sharded_train_step(model, LossConfig(), mesh, donate=False)
+    sharded = make_sharded_train_step(model, LossConfig(), mesh, donate=False,
+                                      return_grads=True)
     sbatch = shard_batch(batch, mesh)
     sstate = replicate_state(state, mesh)
     s2, aux2 = sharded(sstate, sbatch, roi_w, rng)
@@ -53,12 +59,25 @@ def test_dp_train_step_matches_single_device(tiny_model_config, rng):
     np.testing.assert_allclose(
         np.asarray(aux1["gen_loss"]), np.asarray(aux2["gen_loss"]), rtol=1e-4
     )
-    # gradient agreement (psum'd DP grads == single-device grads): compare
-    # global norms rather than post-Adam params — Adam's first step amplifies
-    # ~1e-7 accumulation-order noise on near-zero gradients to +/-lr.
-    np.testing.assert_allclose(
-        float(aux1["grad_norm"]), float(aux2["grad_norm"]), rtol=1e-4
-    )
+    # gradient agreement: psum'd DP grads == single-device grads per-leaf
+    # (pre-optimizer — Adam's first step amplifies ~1e-7 accumulation-order
+    # noise on near-zero gradients to +/-lr, so compare the raw pytrees).
+    # atol scales with each leaf's magnitude: leaves whose gradient is pure
+    # cancellation residue (values ~1e-6 from +/-1 summands) legitimately
+    # differ in f32 between per-shard-then-psum and single-sum reduction
+    # orders, while a sign/value error on any meaningful leaf still fails.
+    g1 = jax.tree.leaves(aux1["grads"])
+    g2 = jax.tree.leaves(aux2["grads"])
+    assert len(g1) == len(g2) and len(g1) > 0
+    # atol 1e-4: scalar leaves like the PReLU slope sum +/- contributions
+    # over every voxel, so their ~1e-5 gradients carry reduction-order noise
+    # of the same size; any leaf with |grad| above ~1e-4 is still checked
+    # tightly through rtol.
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * (1.0 + float(np.abs(b).max()))
+        )
 
 
 def test_spatial_sharding_compiles(tiny_model_config, rng):
@@ -80,6 +99,54 @@ def test_spatial_sharding_compiles(tiny_model_config, rng):
     roi_w = jnp.full((36,), 225.0)
     _, aux = step(sstate, sbatch, roi_w, rng)
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_cli_dp_train_matches_single_device(cohort, tmp_path):  # noqa: F811
+    """The production path: `train --data_parallel 8` over the CLI produces
+    validation metrics allclose to the single-device run (the reference's
+    dead `DataParallel` intent, `attn_unet_data_parallel.py:32`, made real)."""
+    import pandas as pd
+
+    from coma_unet_tpu.cli import main
+
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    df = pd.read_csv(cohort["lookup"])
+    df.to_csv(str(splits / "training_lookup_1.csv"), index=False)
+    df.to_csv(str(splits / "test_lookup_1.csv"), index=False)
+    cfg = {
+        "model": {"channels": [4, 8], "strides": [2, 2],
+                  "latent_spaces": [16, 16], "prompt_shape": [16, 16, 16],
+                  "num_experts": 2, "compute_dtype": "float32"},
+        "loss": {"cds_weights": [0.0, 1.0]},
+        "train": {"epochs": 1, "batch_size": 8, "val_iter": 1,
+                  "adaptive_roi_weights": False},
+        "data": {"volume_shape": [16, 16, 16]},
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    finals = {}
+    for tag, extra in (("single", []), ("dp", ["--data_parallel", "8"])):
+        save = tmp_path / f"results_{tag}"
+        rc = main([
+            "train", "--config", cfg_path,
+            "--splits_dir", str(splits), "--fold", "1",
+            "--covariate_csv", cohort["cov"],
+            "--quartile_csv", cohort["quart"],
+            "--predictions_json", cohort["preds"],
+            "-save_path", str(save),
+        ] + extra)
+        assert rc == 0
+        run = next(save.iterdir())
+        mdir = run / "validation_metric_results"
+        finals[tag] = {
+            m: float(pd.read_csv(str(mdir / f"{m}.csv")).iloc[0, -1])
+            for m in ("mae", "mape", "avg_corr")
+        }
+    for m, v in finals["single"].items():
+        np.testing.assert_allclose(finals["dp"][m], v, rtol=1e-3, atol=1e-5)
 
 
 def test_sharded_eval_matches_single(tiny_model_config, rng):

@@ -83,5 +83,8 @@ def test_lr_injection(tiny_model_config, rng, tiny_batch):
     model = ContraAttnUNet(tiny_model_config)
     state = _make_state(model, tiny_batch, rng, lr=1e-3)
     assert abs(get_lr(state.opt_state) - 1e-3) < 1e-9
-    set_lr(state.opt_state, 5e-4)
-    assert abs(get_lr(state.opt_state) - 5e-4) < 1e-9
+    new_opt_state = set_lr(state.opt_state, 5e-4)
+    # functional: the original state is untouched, the returned one carries
+    # the new LR
+    assert abs(get_lr(state.opt_state) - 1e-3) < 1e-9
+    assert abs(get_lr(new_opt_state) - 5e-4) < 1e-9
