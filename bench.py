@@ -80,6 +80,37 @@ def main() -> None:
         f"{vols_per_sec:.2f} volumes/s/chip", file=sys.stderr,
     )
 
+    # MFU vs the v5e bf16 peak (~197 TFLOP/s). Pallas custom calls are opaque
+    # to XLA's cost model, so take the static FLOP count from the
+    # mathematically-identical pure-XLA lowering (pallas_convs=False) —
+    # compile-only, cached across runs.
+    V5E_PEAK = 197e12
+    try:
+        model_x = ContraAttnUNet(
+            __import__("dataclasses").replace(cfg, pallas_convs=False)
+        )
+
+        @jax.jit
+        def forward_x(variables, mri, covars, roi_loc, roi_std, roi_compact):
+            return model_x.apply(
+                variables, mri, covars, roi_loc, roi_std, roi_compact,
+                train=False, with_projections=False,
+            ).out
+
+        ca = forward_x.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fwd_flops = float(ca.get("flops", 0.0))
+        if fwd_flops > 0:
+            mfu = fwd_flops / per_call / V5E_PEAK
+            print(
+                f"forward: {fwd_flops/1e12:.2f} TFLOP/call -> "
+                f"{fwd_flops/per_call/1e12:.1f} TFLOP/s = {mfu*100:.1f}% MFU",
+                file=sys.stderr,
+            )
+    except Exception as e:  # noqa: BLE001
+        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
     # train step throughput (auxiliary)
     try:
         tx = make_optimizer(1e-3)

@@ -90,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CSV with MRI (+roi) path columns")
     i.add_argument("--out_dir", default="synth_out")
     i.add_argument("--sliding_window", action="store_true")
+    i.add_argument("--spatial_parallel", type=int, default=1,
+                   help="shard the volume spatially over this many devices "
+                        "(GSPMD model-parallel inference)")
     i.add_argument("--patch_size", type=int, default=128)
     i.add_argument("--overlap", type=float, default=0.25)
     i.add_argument("--save_attention", action="store_true",
@@ -277,16 +280,27 @@ def _build_loaders(args, config):
     return train_loader, test_loader
 
 
+def _run_dir_name(args) -> str:
+    """Timestamped results dir (`run.sh:9`); resuming from a checkpoint
+    redirects outputs to `native_target_finetune_<original run dir>` so the
+    finetune never overwrites the source run (`validation.py:225`)."""
+    if getattr(args, "resume_training", False) and \
+            getattr(args, "checkpoint_path", None):
+        ckpt = os.path.abspath(args.checkpoint_path)
+        # .../<run dir>/checkpoints/<checkpoint>
+        orig = os.path.basename(os.path.dirname(os.path.dirname(ckpt)))
+        return "native_target_finetune_" + orig
+    return time.strftime("%Y-%m-%d_%H-%M-%S")
+
+
 def cmd_train(args) -> int:
     import dataclasses as _dc
 
     from coma_unet_tpu.train.loop import train
     from coma_unet_tpu.utils.logging import setup_logging
 
-    config = _experiment_config(args)
-    run_dir = os.path.join(
-        config.save_path, time.strftime("%Y-%m-%d_%H-%M-%S")
-    )
+    config = _experiment_config(args).normalized()
+    run_dir = os.path.join(config.save_path, _run_dir_name(args))
     os.makedirs(run_dir, exist_ok=True)
     setup_logging(os.path.join(run_dir, f"train_{config.model_type}.log"))
     with open(os.path.join(run_dir, "config.json"), "w") as f:
@@ -340,7 +354,7 @@ def cmd_validate(args) -> int:
     from coma_unet_tpu.train.loop import evaluate
     from coma_unet_tpu.utils.logging import setup_logging
 
-    config = _experiment_config(args)
+    config = _experiment_config(args).normalized()
     setup_logging(None)
     model = _build_model(config)
     cov = CovariateTable(config.data.covariate_csv)
@@ -415,7 +429,7 @@ def cmd_infer(args) -> int:
     from coma_unet_tpu.train.checkpoint import CheckpointManager
     from coma_unet_tpu.utils.logging import setup_logging
 
-    config = _experiment_config(args)
+    config = _experiment_config(args).normalized()
     setup_logging(None)
     model = _build_model(config)
     cov = CovariateTable(config.data.covariate_csv)
@@ -435,7 +449,18 @@ def cmd_infer(args) -> int:
         mgr = CheckpointManager(os.path.dirname(
             os.path.dirname(args.checkpoint_path)))
         state, _, _ = mgr.restore(state, args.checkpoint_path)
-    infer = make_infer_fn(model)
+    sp = max(int(getattr(args, "spatial_parallel", 1) or 1), 1)
+    if sp > 1 and not args.sliding_window:
+        # GSPMD model-parallel inference: the volume's (D, H) dims are sharded
+        # over a ('data' x 'spatial') mesh and XLA inserts the halo exchanges
+        # (SURVEY §2.8; the 2-axis mesh the reference's NCCL path never had).
+        from coma_unet_tpu.parallel.mesh import make_mesh, make_spatial_infer_fn
+
+        mesh = make_mesh(data=max(int(config.train.data_parallel), 1),
+                         spatial=sp)
+        infer = make_spatial_infer_fn(model, mesh)
+    else:
+        infer = make_infer_fn(model)
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats

@@ -179,6 +179,29 @@ class ExperimentConfig:
     description: str = ""
     model_type: str = "ContraAttnUNET"
 
+    def normalized(self) -> "ExperimentConfig":
+        """Reconcile coupled geometry knobs (the reference hardcodes these
+        relationships across files):
+
+        * template space pads volumes to 216^3 (`VolumeDataset.py:121-126`,
+          `validation.py:66-68`) — applied when `volume_shape` was left at
+          the native-space default;
+        * the modulator's dynamic prompts must match the input spatial dims
+          (`models/contra.py` raises otherwise), so `model.prompt_shape`
+          follows `data.volume_shape`.
+        """
+        data = self.data
+        if data.template_space and tuple(data.volume_shape) == (128, 128, 128):
+            data = dataclasses.replace(data, volume_shape=(216, 216, 216))
+        model = self.model
+        if tuple(model.prompt_shape) != tuple(data.volume_shape):
+            model = dataclasses.replace(
+                model, prompt_shape=tuple(data.volume_shape)
+            )
+        if model is self.model and data is self.data:
+            return self
+        return dataclasses.replace(self, model=model, data=data)
+
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
 

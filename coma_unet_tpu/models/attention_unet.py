@@ -31,7 +31,9 @@ from coma_unet_tpu.models.blocks import (
     ConvBlock,
     Convolution,
     UpBlock,
+    _triple,
 )
+from coma_unet_tpu.ops.pallas.conv3d_strided import pack_w, unpack_w
 
 
 @flax.struct.dataclass
@@ -95,16 +97,36 @@ class AttentionUNet(nn.Module):
             param_dtype=pdtype,
         )
 
+        # The 64^3 level runs in the PACKED layout (D-pairs on lanes,
+        # ops/pallas/conv3d_strided.py): the stride-2 down0 conv EMITS packed,
+        # every 64^3-level op (conv1, gate1, merge1) consumes/produces packed,
+        # and the up0 transposed conv CONSUMES packed — zero pack/unpack
+        # transposes inside the level. External features (encoder/decoder/psi
+        # lists) are always unpacked; XLA drops the conversions when unused.
+        packed_lvl = (
+            cfg.pallas_convs and depth >= 3
+            and _triple(cfg.kernel_size) == (3, 3, 3)
+            and _triple(cfg.up_kernel_size) == (3, 3, 3)
+            and strides[0] == 2 and x.shape[-1] == 128
+            and x.shape[-3] % 4 == 0 and x.shape[-2] % 2 == 0
+            and channels[0] <= 32 and channels[1] <= 64
+        )
+
         # ---- encoder ----
         # head: ConvBlock(in -> channels[0], stride 1)  (ref :289-294)
         h = Block(out_channels=channels[0], strides=1, name="head",
                   **block_args)(x, cov_block, train)
         encoder: List[jnp.ndarray] = [h]
+        skip1_packed = None
         for i in range(depth - 1):
+            pk = packed_lvl and i == 0
             h = Block(
                 out_channels=channels[i + 1], strides=strides[i],
-                name=f"down{i}", **block_args,
+                name=f"down{i}", packed_out=pk, **block_args,
             )(h, cov_block, train)
+            if pk:
+                skip1_packed = h
+                h = unpack_w(h)
             encoder.append(h)
 
         # ---- decoder (bottom-up) ----
@@ -112,26 +134,33 @@ class AttentionUNet(nn.Module):
         decoder_rev: List[jnp.ndarray] = []
         d = encoder[-1]
         for i in range(depth - 2, -1, -1):
+            pk_lvl = packed_lvl and i == 1   # 64^3 gate/merge run packed
+            pk_in = packed_lvl and i == 0    # up0 consumes the packed merge
             up = Up(
                 out_channels=channels[i], strides=strides[i],
                 kernel_size=cfg.up_kernel_size, dropout=cfg.dropout,
                 conditional=cfg.conditional, num_covars=cfg.num_covars,
                 num_experts=cfg.num_experts, film=cfg.film, norm=cfg.norm,
+                use_pallas=cfg.pallas_convs, packed_in=pk_in,
                 dtype=dtype, param_dtype=pdtype, name=f"up{i}",
             )(d, cov_full, train)
+            up_l = pack_w(up) if pk_lvl else up
+            skip = skip1_packed if pk_lvl else encoder[i]
             att, psi = Gate(
                 f_int=max(channels[i] // 2, 1), norm=cfg.norm,
-                remat=cfg.remat, use_pallas=cfg.pallas_convs, dtype=dtype,
+                remat=cfg.remat, use_pallas=cfg.pallas_convs,
+                packed=pk_lvl, dtype=dtype,
                 param_dtype=pdtype, name=f"gate{i}",
-            )(up, encoder[i], train)
+            )(up_l, skip, train)
             merged = Merge(
                 out_channels=channels[i], kernel_size=3, act="prelu",
                 norm=cfg.norm, dropout=cfg.dropout,
-                use_pallas=cfg.pallas_convs, dtype=dtype,
+                use_pallas=cfg.pallas_convs,
+                packed_in=pk_lvl, packed_out=pk_lvl, dtype=dtype,
                 param_dtype=pdtype, name=f"merge{i}",
-            )(jnp.concatenate([att, up], axis=1), train)
-            attention_maps[i] = psi
-            decoder_rev.append(merged)
+            )(jnp.concatenate([att, up_l], axis=1), train)
+            attention_maps[i] = unpack_w(psi) if pk_lvl else psi
+            decoder_rev.append(unpack_w(merged) if pk_lvl else merged)
             d = merged
 
         decoder = list(reversed(decoder_rev))

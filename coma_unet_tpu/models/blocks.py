@@ -190,6 +190,13 @@ def conv_kernel_init(fan_in: int):
     return init
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 def conv3d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -198,7 +205,14 @@ def conv3d(
     groups: int = 1,
     lhs_dilation: Optional[Tuple[int, int, int]] = None,
     use_pallas: bool = False,
+    packed_in: bool = False,
+    packed_out: bool = False,
 ) -> jnp.ndarray:
+    if packed_in or packed_out:
+        return _conv3d_packed(
+            x, kernel, strides, padding, groups, lhs_dilation,
+            use_pallas, packed_in, packed_out,
+        )
     if use_pallas and lhs_dilation is None:
         from coma_unet_tpu.ops.pallas.conv3d import (
             pallas_conv3d,
@@ -240,6 +254,70 @@ def conv3d(
     )
 
 
+def _conv3d_packed(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    padding,
+    groups: int,
+    lhs_dilation: Optional[Tuple[int, int, int]],
+    use_pallas: bool,
+    packed_in: bool,
+    packed_out: bool,
+) -> jnp.ndarray:
+    """Convs whose input and/or output live in the PACKED 64^3-level layout
+    ([B, C, D/2, H, 2W], D-pairs on lanes — ops/pallas/conv3d_strided.py).
+
+    Pallas fast paths when shapes/backend allow; otherwise an exact XLA
+    fallback that converts layouts at the boundary, so the model is
+    numerically identical on CPU (tests) and TPU."""
+    from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_packed
+    from coma_unet_tpu.ops.pallas.conv3d_strided import (
+        pack_w,
+        pallas_conv3d_s2,
+        pallas_conv3d_t2,
+        unpack_w,
+    )
+
+    k = kernel.shape[-1]
+    cubic3 = kernel.shape[-3:] == (3, 3, 3)
+    cin, cout = kernel.shape[1], kernel.shape[0]
+    tpu = _on_tpu() and use_pallas and groups == 1
+    transposed = lhs_dilation is not None
+
+    if transposed and packed_in and not packed_out:
+        # decoder upsample: packed 64^3 -> full-res 128^3
+        if (tpu and cubic3 and lhs_dilation == (2, 2, 2)
+                and strides == (1, 1, 1) and x.shape[-1] == 128
+                and x.shape[-2] >= 8 and cin <= 64 and cout <= 32):
+            return pallas_conv3d_t2(x, kernel)
+        return conv3d(unpack_w(x), kernel, strides, padding, groups,
+                      lhs_dilation)
+    if not transposed and packed_out and not packed_in:
+        # encoder downsample: full-res 128^3 -> packed 64^3
+        if (tpu and cubic3 and strides == (2, 2, 2) and x.shape[-1] == 128
+                and x.shape[-3] % 4 == 0 and x.shape[-2] % 2 == 0
+                and x.shape[-2] >= 16 and cin <= 32 and cout <= 64):
+            return pallas_conv3d_s2(x, kernel)
+        return pack_w(conv3d(x, kernel, strides, padding, groups))
+    if not transposed and packed_in and packed_out and strides == (1, 1, 1):
+        if (tpu and cubic3 and x.shape[-1] == 128 and x.shape[-2] >= 8
+                and cin <= 128 and cout <= 128):
+            return pallas_conv3d_packed(x, kernel)
+        if k == 1:
+            # pointwise convs are layout-agnostic: run directly on the
+            # packed tensor (pallas stride-1 k=1 kernel when it qualifies)
+            return conv3d(x, kernel, (1, 1, 1), [(0, 0)] * 3, groups,
+                          use_pallas=use_pallas)
+        return pack_w(
+            conv3d(unpack_w(x), kernel, strides, padding, groups)
+        )
+    # anything else: exact fallback through layout conversion
+    y = conv3d(unpack_w(x) if packed_in else x, kernel, strides, padding,
+               groups, lhs_dilation)
+    return pack_w(y) if packed_out else y
+
+
 class Convolution(nn.Module):
     """MONAI-equivalent Convolution: conv (or transposed conv) -> norm ->
     dropout -> act. `conv_only=True` skips norm/dropout/act."""
@@ -254,6 +332,8 @@ class Convolution(nn.Module):
     is_transposed: bool = False
     use_bias: bool = True
     use_pallas: bool = False
+    packed_in: bool = False
+    packed_out: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -272,15 +352,16 @@ class Convolution(nn.Module):
         )
         x = x.astype(self.dtype)
         wc = w.astype(self.dtype)
+        pk = dict(packed_in=self.packed_in, packed_out=self.packed_out)
         if self.is_transposed:
             y = conv3d(
                 x, wc, (1, 1, 1),
                 transposed_padding(kernel_size, strides),
-                lhs_dilation=strides,
+                lhs_dilation=strides, use_pallas=self.use_pallas, **pk,
             )
         else:
             y = conv3d(x, wc, strides, same_padding(kernel_size),
-                       use_pallas=self.use_pallas)
+                       use_pallas=self.use_pallas, **pk)
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
@@ -331,6 +412,8 @@ class CondConvolution(nn.Module):
     film: bool = True
     use_bias: bool = True
     use_pallas: bool = False
+    packed_in: bool = False
+    packed_out: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -368,15 +451,17 @@ class CondConvolution(nn.Module):
         kern = jnp.einsum(
             "be,e...->b...", gates.astype(self.dtype), experts.astype(self.dtype)
         )  # [B, Cout, Cin, kd, kh, kw]
+        pk = dict(packed_in=self.packed_in, packed_out=self.packed_out)
         if self.is_transposed:
             pad = transposed_padding(kernel_size, strides)
             run = lambda xi, ki: conv3d(  # noqa: E731
-                xi, ki, (1, 1, 1), pad, lhs_dilation=strides
+                xi, ki, (1, 1, 1), pad, lhs_dilation=strides,
+                use_pallas=self.use_pallas, **pk,
             )
         else:
             pad = same_padding(kernel_size)
             run = lambda xi, ki: conv3d(  # noqa: E731
-                xi, ki, strides, pad, use_pallas=self.use_pallas
+                xi, ki, strides, pad, use_pallas=self.use_pallas, **pk
             )
         if b <= 4:
             # Unroll per sample: B dense convs beat one grouped conv — XLA's
@@ -390,9 +475,9 @@ class CondConvolution(nn.Module):
             xg = x.reshape((1, b * in_ch) + x.shape[2:])
             if self.is_transposed:
                 y = conv3d(xg, kern_g, (1, 1, 1), pad, groups=b,
-                           lhs_dilation=strides)
+                           lhs_dilation=strides, **pk)
             else:
-                y = conv3d(xg, kern_g, strides, pad, groups=b)
+                y = conv3d(xg, kern_g, strides, pad, groups=b, **pk)
             y = y.reshape((b, self.out_channels) + y.shape[2:])
         if self.use_bias:
             bias = self.param(
@@ -446,6 +531,8 @@ class ConvBlock(nn.Module):
     norm: str = "instance"
     remat: bool = False
     use_pallas: bool = False
+    packed_in: bool = False
+    packed_out: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -475,24 +562,29 @@ class ConvBlock(nn.Module):
             param_dtype=self.param_dtype,
             axis_name=self.axis_name,
         )
+        # conv0 takes the block's input layout and produces the block's
+        # output layout; conv1 (stride 1) stays in the output layout
+        pk0 = dict(packed_in=self.packed_in, packed_out=self.packed_out)
+        pk1 = dict(packed_in=self.packed_out, packed_out=self.packed_out)
         if self.conditional:
             x = Cond(
                 out_channels=self.out_channels, strides=self.strides,
                 num_covars=self.num_covars, num_experts=self.num_experts,
-                film=self.film, name="conv0", **common,
+                film=self.film, name="conv0", **pk0, **common,
             )(x, covariate, train)
             x = Cond(
                 out_channels=self.out_channels, strides=1,
                 num_covars=self.num_covars, num_experts=self.num_experts,
-                film=self.film, name="conv1", **common,
+                film=self.film, name="conv1", **pk1, **common,
             )(x, covariate, train)
         else:
             x = Conv(
                 out_channels=self.out_channels, strides=self.strides,
-                name="conv0", **common,
+                name="conv0", **pk0, **common,
             )(x, train)
             x = Conv(
-                out_channels=self.out_channels, strides=1, name="conv1", **common,
+                out_channels=self.out_channels, strides=1, name="conv1",
+                **pk1, **common,
             )(x, train)
         return x
 
@@ -511,6 +603,7 @@ class AttentionGate(nn.Module):
     norm: str = "instance"
     remat: bool = False
     use_pallas: bool = False
+    packed: bool = False  # g/x arrive (and out/psi leave) in packed layout
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -524,6 +617,7 @@ class AttentionGate(nn.Module):
         common = dict(
             kernel_size=1, strides=1, act=None, norm=self.norm,
             use_pallas=self.use_pallas,
+            packed_in=self.packed, packed_out=self.packed,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.axis_name,
         )
@@ -549,6 +643,8 @@ class UpBlock(nn.Module):
     num_experts: int = 8
     film: bool = True
     norm: str = "instance"
+    use_pallas: bool = False
+    packed_in: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     axis_name: Optional[str] = None
@@ -563,6 +659,7 @@ class UpBlock(nn.Module):
         common = dict(
             kernel_size=self.kernel_size, strides=self.strides, act="relu",
             norm=self.norm, dropout=self.dropout, is_transposed=True,
+            use_pallas=self.use_pallas, packed_in=self.packed_in,
             dtype=self.dtype, param_dtype=self.param_dtype,
             axis_name=self.axis_name,
         )

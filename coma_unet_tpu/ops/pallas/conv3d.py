@@ -31,6 +31,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Mosaic stack-allocates the unrolled tap temporaries; with the kd-stacked
+# contraction the 32-channel 128^2 slabs exceed the 16 MB default scoped-vmem
+# cap (v5e has 128 MB physical VMEM).
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
 
 def _shift_hw(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
     """Shift [C, H, W] so out[h, w] = in[h+dh, w+dw], zero fill.
@@ -59,28 +64,35 @@ def _shift_hw(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
 
 
 def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
+    """The kd-slabs are CONCATENATED along channels so each (kh, kw) tap is
+    one dot with contraction dim k*Cin — 3x the MXU utilization of per-kd
+    dots for the model's 16-32 channel convs."""
     d = pl.program_id(1)
-    slabs = (xm_ref, x0_ref, xp_ref) if k == 3 else (x0_ref,)
-    acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, H, W]
-    for kd, slab_ref in enumerate(slabs):
-        slab = slab_ref[...]  # [Cin, H, W], stays bf16 until the dot
-        if k == 3:
+    if k == 3:
+        slabs = []
+        for kd, slab_ref in enumerate((xm_ref, x0_ref, xp_ref)):
+            slab = slab_ref[...]  # [Cin, H, W], stays bf16 until the dot
             # zero the out-of-volume D halos
             if kd == 0:
                 slab = jnp.where(d > 0, slab, 0.0)
             if kd == 2:
                 slab = jnp.where(d < dsize - 1, slab, 0.0)
-        taps = range(-1, 2) if k == 3 else (0,)
-        for kh in taps:
-            for kw in taps:
-                s = _shift_hw(slab, kh, kw)
-                tap = (kd * k + (kh + k // 2)) * k + (kw + k // 2)
-                wk = w_ref[tap].astype(s.dtype)  # [Cout, Cin]
-                # [Cout, Cin] x [Cin, H, W] -> [Cout, H, W] on the MXU
-                acc += jax.lax.dot_general(
-                    wk, s, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            slabs.append(slab)
+        cat = jnp.concatenate(slabs, axis=0)  # [3*Cin, H, W]
+    else:
+        cat = x0_ref[...]
+    acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, H, W]
+    taps = range(-1, 2) if k == 3 else (0,)
+    for kh in taps:
+        for kw in taps:
+            s = _shift_hw(cat, kh, kw)
+            tap = (kh + k // 2) * k + (kw + k // 2)
+            wk = w_ref[tap].astype(s.dtype)  # [Cout, k*Cin]
+            # [Cout, k*Cin] x [k*Cin, H, W] -> [Cout, H, W] on the MXU
+            acc += jax.lax.dot_general(
+                wk, s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -89,10 +101,10 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
                        interpret: bool = False) -> jnp.ndarray:
     b, cin, dsz, h, wd = x.shape
     cout = w.shape[0]
-    # weights as [k^3, Cout, Cin] f32: tap-indexed leading dim (clean Mosaic
-    # layout), channels on (sublane, lane)
-    w_taps = jnp.transpose(
-        w.reshape(cout, cin, -1), (2, 0, 1)
+    # weights as [k^2, Cout, k*Cin] f32: (kh, kw)-indexed taps with the kd
+    # dimension stacked along the contraction axis (concat(kd=-1,0,+1) order)
+    w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+        k * k, cout, k * cin
     ).astype(jnp.float32)
     grid = (b, dsz)
 
@@ -112,7 +124,7 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
         in_specs=[
             spec(-1), spec(0), spec(1),
             pl.BlockSpec(
-                (k ** 3, cout, cin), lambda bi, di: (0, 0, 0),
+                (k * k, cout, k * cin), lambda bi, di: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -121,6 +133,7 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, cout, dsz, h, wd), x.dtype),
+        compiler_params=_CPARAMS,
         interpret=interpret,
     )(x, x, x, w_taps)
     return out
@@ -234,6 +247,7 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32),
+        compiler_params=_CPARAMS,
         interpret=interpret,
     )(x, x, x, g)
     # [k^3, Cout, Cin] -> [Cout, Cin, k, k, k]

@@ -1,0 +1,484 @@
+"""Pallas TPU kernel for the stride-2 encoder downsample at the U-Net's
+full-resolution boundary (128^3 -> 64^3, the level-transition convs of
+`attn_unet_data_parallel.py:310-346` / MONAI ConvBlock(strides=2)).
+
+Why: XLA's TPU conv path relayouts small-channel NCDHW activations into
+feature-minor tilings padded up to 128x; the measured stride-2 conv
+(32ch 128^3 -> 64ch 64^3) costs 7-14 ms against a ~1 ms roofline
+(ROUND_NOTES r1).
+
+Design (constraints measured on this chip):
+
+  * strided LANE slices are unsupported in Mosaic -> taps accumulate at full
+    128-lane width (the proven conv3d.py shift+dot pattern) and lanes are
+    decimated at the very end with ONE selection matmul per output slice
+    (0/1 matrix through the MXU at HIGHEST precision: exact on the f32
+    accumulator);
+  * strided SUBLANE slices of computed values lower to an unsupported 3D
+    gather, but a reshape-split compiles for f32 -> H decimation is a
+    reshape-split on the f32 accumulator (exact, no round trip);
+  * the kernel pays 2x H and 2x W tap redundancy for Mosaic-friendliness —
+    still far under the 7-14x XLA layout penalty.
+
+Layout contract at the 64^3 level: activations are PACKED — two consecutive
+D-slices side by side on lanes, [B, C, D, H, 64] <-> [B, C, D/2, H, 128]
+(`conv3d_packed.py`). The stride-2 kernel EMITS packed output directly, so
+the whole 64^3 level runs 128-lane with no pack transpose after it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from coma_unet_tpu.ops.pallas.conv3d import _shift_hw
+
+# Mosaic stack-allocates the unrolled tap temporaries; the default 16 MB
+# scoped-vmem limit rejects the production-size kernels even though v5e has
+# 128 MB of physical VMEM. Raise the cap; the pipeline buffers still fit.
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
+def pack_w(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, D, H, W] -> [B, C, D/2, H, 2W]: D-pairs side by side on lanes."""
+    b, c, d, h, w = x.shape
+    return (
+        x.reshape(b, c, d // 2, 2, h, w)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(b, c, d // 2, h, 2 * w)
+    )
+
+
+def unpack_w(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, D/2, H, 2W] -> [B, C, D, H, W] (inverse of pack_w)."""
+    b, c, d2, h, w2 = x.shape
+    w = w2 // 2
+    return (
+        x.reshape(b, c, d2, h, 2, w)
+        .transpose(0, 1, 2, 4, 3, 5)
+        .reshape(b, c, 2 * d2, h, w)
+    )
+
+
+def _sel_even(w: int) -> np.ndarray:
+    """[W, W/2] 0/1 matrix: out[w_out] = in[2*w_out]."""
+    s = np.zeros((w, w // 2), np.float32)
+    s[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    return s
+
+
+# ---------------------------------------------------------------------------
+# stride-2 forward: [B, Cin, D, H, W] -> packed [B, Cout, D/4, H/2, W]
+# (output spatial D/2 x H/2 x W/2, D-pairs packed on lanes)
+# ---------------------------------------------------------------------------
+
+
+def _s2_kernel(x0_ref, x1_ref, x2_ref, x3_ref, x4_ref, w_ref, sel_ref,
+               o_ref):
+    """Grid (B, P): output packed slab p holds output D-slices (2p, 2p+1);
+    input D-slices 4p-1 .. 4p+3 arrive as five slab refs.
+
+    The three kd-slabs are CONCATENATED along channels so each (kh, kw) tap
+    is one dot with contraction dim 3*Cin — e.g. 96 for the flagship's
+    32-channel encoder transition, 3x the MXU utilization of per-kd dots."""
+    p = pl.program_id(1)
+    slab_refs = (x0_ref, x1_ref, x2_ref, x3_ref, x4_ref)
+    sel = sel_ref[...]  # [W, W/2] f32
+
+    halves = []
+    for o in (0, 1):  # output D-slice 2p + o, input center 4p + 2o
+        slabs = []
+        for kd in (-1, 0, 1):
+            slab = slab_refs[2 * o + kd + 1][...]  # D-slice 4p + 2o + kd
+            if 2 * o + kd + 1 == 0:  # only the leading halo can fall off
+                slab = jnp.where(p > 0, slab, 0.0)
+            slabs.append(slab)
+        cat = jnp.concatenate(slabs, axis=0)  # [3*Cin, H, W]
+        acc = None
+        for kh in (-1, 0, 1):
+            for kw in (-1, 0, 1):
+                # stride-1 tap at FULL resolution (proven bf16 pattern);
+                # the decimations below discard the odd rows/lanes
+                s = _shift_hw(cat, kh, kw)
+                tap = (kh + 1) * 3 + (kw + 1)
+                wk = w_ref[tap].astype(s.dtype)  # [Cout, 3*Cin]
+                # HIGHEST only matters for f32 test inputs (the MXU's
+                # default pass is bf16); production data is bf16.
+                prec = (jax.lax.Precision.HIGHEST
+                        if s.dtype == jnp.float32 else None)
+                d = jax.lax.dot_general(
+                    wk, s, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # [Cout, H, W] f32
+                acc = d if acc is None else acc + d
+        # H decimation: reshape-split on the f32 accumulator (strided sublane
+        # slices of computed values don't lower; the f32 reshape-split does)
+        c, h, wd = acc.shape
+        hd = acc.reshape(c, h // 2, 2, wd)[:, :, 0, :]  # rows 2*h_out
+        # W decimation: out[w_out] = hd[2*w_out] via an exact 0/1 matmul
+        halves.append(
+            jax.lax.dot_general(
+                hd, sel, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [Cout, H/2, W/2]
+        )
+    o_ref[...] = jnp.concatenate(halves, axis=2).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """k=3 stride-2 SAME conv; returns PACKED output
+    [B, Cout, D/4, H/2, W]."""
+    b, cin, dsz, h, wd = x.shape
+    cout = w.shape[0]
+    assert dsz % 4 == 0 and h % 2 == 0 and wd % 2 == 0
+    # [9, Cout, 3*Cin]: (kh, kw)-indexed taps, kd stacked along the
+    # contraction axis in concat(kd=-1, 0, +1) order
+    w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+        9, cout, 3 * cin
+    ).astype(jnp.float32)
+    sel = jnp.asarray(_sel_even(wd))
+    p_count = dsz // 4  # packed output slabs
+
+    def idx(off):
+        def f(bi, pi):
+            return (bi, 0, jnp.clip(4 * pi + off, 0, dsz - 1), 0, 0)
+
+        return f
+
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cin, None, h, wd), idx(off), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        _s2_kernel,
+        grid=(b, p_count),
+        in_specs=[
+            spec(-1), spec(0), spec(1), spec(2), spec(3),
+            pl.BlockSpec((9, cout, 3 * cin), lambda bi, pi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd, wd // 2), lambda bi, pi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, cout, None, h // 2, wd), lambda bi, pi: (bi, 0, pi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cout, p_count, h // 2, wd), x.dtype
+        ),
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(x, x, x, x, x, w_taps, sel)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 transposed: packed [B, Cin, D/2, H, 2W] -> [B, Cout, 2D, 2H, 2W]
+# (the MONAI 'SAME' deconv: k=3, s=2, p=1, output_padding=1 —
+#  `transposed_padding` in models/blocks.py, ref UpBlock
+#  `attn_unet_data_parallel.py:120-131`)
+# ---------------------------------------------------------------------------
+
+
+def _scatter_half(w2: int, half: int) -> np.ndarray:
+    """[2W, 2W] 0/1 matrix taking a packed slab's lane half `half` (a W-wide
+    input D-slice) to even lanes of a 2W-wide W-dilated row: for even w',
+    out[w'] = in[64*half + w'/2]."""
+    w = w2 // 2
+    s = np.zeros((w2, w2), np.float32)
+    s[half * w + np.arange(w), np.arange(0, w2, 2)] = 1.0
+    return s
+
+
+def _t2_kernel(pa_ref, pb_ref, w_ref, s0_ref, s1_ref, o_ref, *, jsize: int):
+    """Grid (B, J): output D-slices (2j, 2j+1) from W+H-dilated input slices
+    j and j+1. Slice j lives in lane half j%2 of packed slab j//2 (pa);
+    slice j+1 in half (j+1)%2 of slab (j+1)//2 (pb)."""
+    j = pl.program_id(1)
+    pa = pa_ref[...]  # packed slab j//2       [Cin, H, 2W]
+    pb = pb_ref[...]  # packed slab (j+1)//2   [Cin, H, 2W]
+    s0 = s0_ref[...]  # scatter half 0 -> even lanes [2W, 2W]
+    s1 = s1_ref[...]  # scatter half 1 -> even lanes
+
+    def dilate(slab, parity):
+        # W: pick the slice's lane half and spread onto even lanes (exact 0/1
+        # matmul on the MXU); parity is traced — select between both halves.
+        # Mosaic rejects mixed-dtype dots; a one-hot scatter is exact in
+        # the operand dtype itself (each output sums exactly one input), so
+        # match dtypes and only force HIGHEST for f32 test data.
+        sel = jnp.where(parity == 0, s0, s1).astype(slab.dtype)
+        prec = (jax.lax.Precision.HIGHEST
+                if slab.dtype == jnp.float32 else None)
+        de = jax.lax.dot_general(
+            slab, sel, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )  # [Cin, H, 2W] f32, odd lanes zero
+        # H: interleave zeros via the f32 reshape-merge (sublane reshapes
+        # only lower in f32)
+        c, h, w2 = de.shape
+        dil = jnp.concatenate(
+            [de[:, :, None, :], jnp.zeros((c, h, 1, w2), de.dtype)], axis=2
+        ).reshape(c, 2 * h, w2)
+        return dil.astype(pa.dtype)  # [Cin, 2H, 2W] bf16
+
+    dil_j = dilate(pa, j % 2)
+    dil_j1 = dilate(pb, (j + 1) % 2)
+    # out-of-volume top halo: slice j+1 doesn't exist for the last j
+    dil_j1 = jnp.where(j < jsize - 1, dil_j1, 0.0)
+
+    outs = []
+    for r_d in (0, 1):  # output D-slice 2j + r_d
+        # D-taps with a nonzero dilated-D operand: r_d=0 -> t_d=1 on slice j;
+        # r_d=1 -> t_d=0 on slice j, t_d=2 on slice j+1. For r_d=1 the two
+        # contributions are STACKED along channels so each (t_h, t_w) tap is
+        # one dot with contraction dim 2*Cin (2x MXU utilization).
+        if r_d == 0:
+            cat = dil_j
+            tds = (1,)
+        else:
+            cat = jnp.concatenate([dil_j, dil_j1], axis=0)
+            tds = (0, 2)
+        acc = None
+        for t_h in (0, 1, 2):
+            for t_w in (0, 1, 2):
+                s = _shift_hw(cat, t_h - 1, t_w - 1)
+                wk = jnp.concatenate(
+                    [w_ref[(t_d * 3 + t_h) * 3 + t_w] for t_d in tds],
+                    axis=1,
+                ).astype(s.dtype)  # [Cout, len(tds)*Cin]
+                prec = (jax.lax.Precision.HIGHEST
+                        if s.dtype == jnp.float32 else None)
+                d = jax.lax.dot_general(
+                    wk, s, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )
+                acc = d if acc is None else acc + d
+        outs.append(acc.astype(o_ref.dtype))
+    o_ref[...] = jnp.stack(outs, axis=1)  # [Cout, 2, 2H, 2W]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _t2_fwd(xp: jnp.ndarray, w: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """k=3 s=2 SAME transposed conv on PACKED input [B, Cin, P, H, 2W]
+    (P packed slabs = 2P input D-slices, read from lane halves in-kernel).
+    Returns full-resolution [B, Cout, 4P, 2H, 2W] = 2x upsampled NCDHW."""
+    b, cin, p_cnt, h, w2 = xp.shape
+    cout = w.shape[0]
+    jsize = 2 * p_cnt  # input D-slices
+    w_taps = jnp.transpose(w.reshape(cout, cin, -1), (2, 0, 1)).astype(
+        jnp.float32
+    )
+    s0 = jnp.asarray(_scatter_half(w2, 0))
+    s1 = jnp.asarray(_scatter_half(w2, 1))
+
+    def idx(off):
+        def f(bi, ji):
+            return (bi, 0, jnp.clip((ji + off) // 2, 0, p_cnt - 1), 0, 0)
+
+        return f
+
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cin, None, h, w2), idx(off), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        partial(_t2_kernel, jsize=jsize),
+        grid=(b, jsize),
+        in_specs=[
+            spec(0), spec(1),
+            pl.BlockSpec((27, cout, cin), lambda bi, ji: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2, w2), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2, w2), lambda bi, ji: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, cout, 2, 2 * h, w2), lambda bi, ji: (bi, 0, ji, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cout, 2 * jsize, 2 * h, w2), xp.dtype
+        ),
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(xp, xp, w_taps, s0, s1)
+
+
+# ---------------------------------------------------------------------------
+# shared weight-gradient kernel: correlation of a PACKED half-resolution
+# tensor (dilated in-kernel) against a FULL-resolution tensor.
+#
+#   dw[t_d,t_h,t_w][a, b] = sum_j packed[a, j] * full[b, 2j + t - 1]   (per dim)
+#
+# s2:  packed = cotangent g [B,Cout,P,H/2,W],  full = input x [B,Cin,D,H,W]
+# t2:  packed = input x     [B,Cin,P,H,2W],    full = cotangent g
+#      (by substitution t' = 2 - t; caller transposes channels + flips taps)
+# ---------------------------------------------------------------------------
+
+
+def _dilate_half(slab: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """One packed lane-half -> a W+H zero-dilated full-res slice.
+
+    slab [C, H2, W]; s = `_scatter_half` matrix picking the half and
+    spreading onto even lanes. Returns [C, 2*H2, W] with odd rows/lanes 0.
+    A one-hot scatter is exact in the operand dtype (each output sums
+    exactly one input), so the matrix matches the slab dtype; HIGHEST only
+    for f32 test data (Mosaic rejects mixed-dtype dots)."""
+    prec = (jax.lax.Precision.HIGHEST
+            if slab.dtype == jnp.float32 else None)
+    de = jax.lax.dot_general(
+        slab, s.astype(slab.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )  # [C, H2, W] f32, odd lanes zero
+    c, h2, w = de.shape
+    dil = jnp.concatenate(
+        [de[:, :, None, :], jnp.zeros((c, h2, 1, w), de.dtype)], axis=2
+    ).reshape(c, 2 * h2, w)
+    return dil.astype(slab.dtype)
+
+
+def _dw_dil_kernel(x0_ref, x1_ref, x2_ref, g_ref, s0_ref, s1_ref, o_ref):
+    """Grid (B, P, 2): packed slice 2p + oo against its three full-res
+    D-neighbors (refs at 4p + 2*oo + t_d - 1). o_ref [27, C_packed, C_full]
+    accumulates across the whole grid. The slice loop lives in the GRID (not
+    unrolled in-kernel) to keep the Mosaic program small enough to compile."""
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    oo = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, p == 0), oo == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    slab_refs = (x0_ref, x1_ref, x2_ref)
+    g = g_ref[...]  # [C_packed, H2, W] packed slab p
+    sel = jnp.where(oo == 0, s0_ref[...], s1_ref[...])
+
+    gdil = _dilate_half(g, sel)  # [C_packed, H, W]
+    cp, hh, ww = gdil.shape
+    ga = gdil.reshape(cp, hh * ww)
+    for t_d in (0, 1, 2):
+        # full-res D-slice 2*(2p+oo) + t_d - 1 = 4p + 2*oo + t_d - 1
+        slab = slab_refs[t_d][...]  # [C_full, H, W]
+        if t_d == 0:  # leading halo off the volume at p == oo == 0
+            slab = jnp.where(jnp.logical_or(p > 0, oo > 0), slab, 0.0)
+        for t_h in (0, 1, 2):
+            for t_w in (0, 1, 2):
+                s = _shift_hw(slab, t_h - 1, t_w - 1)
+                cf = s.shape[0]
+                tap = (t_d * 3 + t_h) * 3 + t_w
+                o_ref[tap] += jax.lax.dot_general(
+                    ga, s.reshape(cf, hh * ww),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """Returns dw [27, C_packed, C_full] (see block comment above)."""
+    b, cf, dsz, h, wd = full.shape
+    _, cp, p_cnt, h2, w2 = packed.shape
+    assert dsz == 4 * p_cnt and h == 2 * h2 and wd == w2
+
+    def idx(off):
+        def f(bi, pi, oi):
+            return (bi, 0, jnp.clip(4 * pi + 2 * oi + off, 0, dsz - 1), 0, 0)
+
+        return f
+
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cf, None, h, wd), idx(off), memory_space=pltpu.VMEM
+    )
+    s0 = jnp.asarray(_scatter_half(wd, 0))
+    s1 = jnp.asarray(_scatter_half(wd, 1))
+    return pl.pallas_call(
+        _dw_dil_kernel,
+        grid=(b, p_cnt, 2),
+        in_specs=[
+            spec(-1), spec(0), spec(1),
+            pl.BlockSpec((None, cp, None, h2, w2),
+                         lambda bi, pi, oi: (bi, 0, pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd, wd), lambda bi, pi, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wd, wd), lambda bi, pi, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((27, cp, cf), lambda bi, pi, oi: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((27, cp, cf), jnp.float32),
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(full, full, full, packed, s0, s1)
+
+
+def _flip_t(w: jnp.ndarray) -> jnp.ndarray:
+    """[Cout, Cin, 3,3,3] -> spatially flipped, io-swapped [Cin, Cout, 3,3,3]."""
+    return jnp.flip(w, axis=(2, 3, 4)).transpose(1, 0, 2, 3, 4)
+
+
+# ---------------------------------------------------------------------------
+# public ops with custom VJPs (the strided pair is AD-closed: each one's
+# dx is the other forward with the flipped/io-swapped kernel)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def pallas_conv3d_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """k=3 stride-2 SAME conv [B,Cin,D,H,W] -> PACKED [B,Cout,D/4,H/2,W]."""
+    return _s2_fwd(x, w)
+
+
+def _s2_vjp_fwd(x, w):
+    return _s2_fwd(x, w), (x, w)
+
+
+def _s2_vjp_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    dx = _t2_fwd(g, _flip_t(w).astype(w.dtype))
+    dw = _dw_dil(x, g)  # [27, Cout, Cin]
+    cout, cin = w.shape[0], w.shape[1]
+    dw = jnp.transpose(dw, (1, 2, 0)).reshape(cout, cin, 3, 3, 3)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_s2.defvjp(_s2_vjp_fwd, _s2_vjp_bwd)
+
+
+@jax.custom_vjp
+def pallas_conv3d_t2(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """k=3 s=2 SAME transposed conv, PACKED [B,Cin,P,H,2W] ->
+    [B,Cout,4P,2H,2W]."""
+    return _t2_fwd(xp, w)
+
+
+def _t2_vjp_fwd(xp, w):
+    return _t2_fwd(xp, w), (xp, w)
+
+
+def _t2_vjp_bwd(res, g):
+    xp, w = res
+    g = g.astype(xp.dtype)
+    dxp = _s2_fwd(g, _flip_t(w).astype(w.dtype))
+    dw = _dw_dil(g, xp)  # [27, Cin, Cout] with flipped taps (t' = 2 - t)
+    cout, cin = w.shape[0], w.shape[1]
+    dw = jnp.transpose(dw, (2, 1, 0)).reshape(cout, cin, 3, 3, 3)
+    dw = jnp.flip(dw, axis=(2, 3, 4))
+    return dxp.astype(xp.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_t2.defvjp(_t2_vjp_fwd, _t2_vjp_bwd)

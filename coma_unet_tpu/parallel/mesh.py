@@ -192,11 +192,7 @@ def make_spatial_infer_fn(model, mesh: Mesh):
     halo exchange over ICI."""
 
     @jax.jit
-    def infer(params_batch_stats, mri, covars, roi_loc, roi_std, roi_compact):
-        params, batch_stats = params_batch_stats
-        variables = {"params": params}
-        if batch_stats:
-            variables["batch_stats"] = batch_stats
+    def infer(variables, mri, covars, roi_loc, roi_std, roi_compact):
         mri = jax.lax.with_sharding_constraint(
             mri, NamedSharding(mesh, P(None, None, "data", "spatial", None))
         )

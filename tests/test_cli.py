@@ -126,3 +126,44 @@ def test_cli_infer(cohort, tiny_config_file, tmp_path):  # noqa: F811
     vol = load_nifti_vol(os.path.join(out_dir, outs[0]), resize=False)
     assert vol.shape == (1, 16, 16, 16)
     assert np.isfinite(vol).all()
+
+
+def test_resume_run_dir_semantics():
+    """Resuming redirects outputs to native_target_finetune_<orig run dir>
+    (`validation.py:225`); fresh runs get a timestamp (`run.sh:9`)."""
+    import re
+    from types import SimpleNamespace
+
+    from coma_unet_tpu.cli.main import _run_dir_name
+
+    args = SimpleNamespace(
+        resume_training=True,
+        checkpoint_path="/results/2026-01-02_03-04-05/checkpoints/latest",
+    )
+    assert _run_dir_name(args) == \
+        "native_target_finetune_2026-01-02_03-04-05"
+    fresh = SimpleNamespace(resume_training=False, checkpoint_path=None)
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2}",
+                        _run_dir_name(fresh))
+
+
+def test_cli_infer_spatial_parallel(cohort, tiny_config_file, tmp_path):  # noqa: F811
+    """GSPMD model-parallel inference through the CLI: the volume's spatial
+    dims shard over the ('data' x 'spatial') mesh (SURVEY §2.8)."""
+    out_dir = str(tmp_path / "synth_sp")
+    rc = main([
+        "infer", "--config", tiny_config_file,
+        "--input_lookup", cohort["lookup"],
+        "--covariate_csv", cohort["cov"],
+        "--predictions_json", cohort["preds"],
+        "--out_dir", out_dir,
+        "--spatial_parallel", "4",
+    ])
+    assert rc == 0
+    outs = sorted(os.listdir(out_dir))
+    assert len(outs) == 8
+    from coma_unet_tpu.io.volume import load_nifti_vol
+
+    vol = load_nifti_vol(os.path.join(out_dir, outs[0]), resize=False)
+    assert vol.shape == (1, 16, 16, 16)
+    assert np.isfinite(vol).all()

@@ -73,3 +73,33 @@ def test_cross_val_flag_loops_folds(tmp_path, monkeypatch):
     M.cmd_train(args)
     assert [c[0] for c in calls] == [1, 2, 3, 4, 5]
     assert all(f"fold_{k}" in p for (k, p) in calls)
+
+
+def test_config_normalized_geometry():
+    """Template space pads to 216^3 and the modulator prompt grid follows
+    the volume shape (`VolumeDataset.py:121-126`, `validation.py:66-68`)."""
+    import dataclasses
+
+    from coma_unet_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+
+    # template space + default volume -> 216^3 everywhere
+    cfg = ExperimentConfig(
+        data=DataConfig(template_space=True)
+    ).normalized()
+    assert tuple(cfg.data.volume_shape) == (216, 216, 216)
+    assert tuple(cfg.model.prompt_shape) == (216, 216, 216)
+
+    # explicit volume shape wins; prompts follow it
+    cfg = ExperimentConfig(
+        model=ModelConfig(prompt_shape=(128, 128, 128)),
+        data=DataConfig(template_space=True, volume_shape=(32, 32, 32)),
+    ).normalized()
+    assert tuple(cfg.data.volume_shape) == (32, 32, 32)
+    assert tuple(cfg.model.prompt_shape) == (32, 32, 32)
+
+    # already consistent -> returned unchanged (same object)
+    base = ExperimentConfig()
+    assert base.normalized() is base
+    # idempotent + JSON roundtrip stays normalized
+    cfg2 = ExperimentConfig.from_json(cfg.to_json()).normalized()
+    assert dataclasses.asdict(cfg2) == dataclasses.asdict(cfg)
