@@ -89,6 +89,11 @@ class ModelConfig:
     # Pallas direct-conv kernel for stride-1 small-channel convs (bypasses
     # XLA's layout-padded conv path; see ops/pallas/conv3d.py):
     pallas_convs: bool = True
+    # Run the 64^3 level in the packed (D-pairs-on-lanes) layout with the
+    # strided/transposed/packed Pallas kernels (ops/pallas/conv3d_strided.py).
+    # Requires pallas_convs; independent knob so the two Pallas generations
+    # can be measured and debugged separately.
+    packed_level: bool = True
     # Remat (rematerialize per-block activations to trade FLOPs for HBM —
     # required at 128^3: XLA's conv layout padding multiplies stored
     # activations up to 128x for 1-channel tensors, so storing them all OOMs):

@@ -104,7 +104,7 @@ class AttentionUNet(nn.Module):
         # transposes inside the level. External features (encoder/decoder/psi
         # lists) are always unpacked; XLA drops the conversions when unused.
         packed_lvl = (
-            cfg.pallas_convs and depth >= 3
+            cfg.pallas_convs and cfg.packed_level and depth >= 3
             and _triple(cfg.kernel_size) == (3, 3, 3)
             and _triple(cfg.up_kernel_size) == (3, 3, 3)
             and strides[0] == 2 and x.shape[-1] == 128

@@ -279,15 +279,23 @@ def _conv3d_packed(
         unpack_w,
     )
 
+    import os
+
     k = kernel.shape[-1]
     cubic3 = kernel.shape[-3:] == (3, 3, 3)
     cin, cout = kernel.shape[1], kernel.shape[0]
     tpu = _on_tpu() and use_pallas and groups == 1
     transposed = lhs_dilation is not None
+    # debug escape hatch: COMA_PALLAS_DISABLE="t2,s2,packed" forces the XLA
+    # fallback for individual kernel families (compile-memory bisection)
+    disabled = set(
+        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
+    )
 
     if transposed and packed_in and not packed_out:
         # decoder upsample: packed 64^3 -> full-res 128^3
-        if (tpu and cubic3 and lhs_dilation == (2, 2, 2)
+        if (tpu and "t2" not in disabled and cubic3
+                and lhs_dilation == (2, 2, 2)
                 and strides == (1, 1, 1) and x.shape[-1] == 128
                 and x.shape[-2] >= 8 and cin <= 64 and cout <= 32):
             return pallas_conv3d_t2(x, kernel)
@@ -295,13 +303,15 @@ def _conv3d_packed(
                       lhs_dilation)
     if not transposed and packed_out and not packed_in:
         # encoder downsample: full-res 128^3 -> packed 64^3
-        if (tpu and cubic3 and strides == (2, 2, 2) and x.shape[-1] == 128
+        if (tpu and "s2" not in disabled and cubic3
+                and strides == (2, 2, 2) and x.shape[-1] == 128
                 and x.shape[-3] % 4 == 0 and x.shape[-2] % 2 == 0
                 and x.shape[-2] >= 16 and cin <= 32 and cout <= 64):
             return pallas_conv3d_s2(x, kernel)
         return pack_w(conv3d(x, kernel, strides, padding, groups))
     if not transposed and packed_in and packed_out and strides == (1, 1, 1):
-        if (tpu and cubic3 and x.shape[-1] == 128 and x.shape[-2] >= 8
+        if (tpu and "packed" not in disabled and cubic3
+                and x.shape[-1] == 128 and x.shape[-2] >= 8
                 and cin <= 128 and cout <= 128):
             return pallas_conv3d_packed(x, kernel)
         if k == 1:
@@ -316,6 +326,69 @@ def _conv3d_packed(
     y = conv3d(unpack_w(x) if packed_in else x, kernel, strides, padding,
                groups, lhs_dilation)
     return pack_w(y) if packed_out else y
+
+
+def cond_conv3d(
+    x: jnp.ndarray,
+    kern: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    lhs_dilation: Optional[Tuple[int, int, int]],
+    use_pallas: bool,
+    packed_in: bool,
+    packed_out: bool,
+) -> Optional[jnp.ndarray]:
+    """PER-SAMPLE-kernel conv (the CondConv expert mixture,
+    `kern` [B, Cout, Cin, k, k, k]) through ONE batched pallas call.
+
+    Returns None when no batched kernel family applies — the caller falls
+    back to the per-sample unroll / grouped conv. One instance per conv site
+    (instead of B unrolled ones) keeps the Mosaic compile footprint flat in
+    batch size and replaces XLA's ~40%-slower grouped lowering for DP
+    batches."""
+    import os
+
+    from coma_unet_tpu.ops.pallas.conv3d import (
+        pallas_conv3d_b,
+        pallas_conv3d_supported,
+    )
+    from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_packed_b
+    from coma_unet_tpu.ops.pallas.conv3d_strided import (
+        pallas_conv3d_s2_b,
+        pallas_conv3d_t2_b,
+    )
+
+    if not (_on_tpu() and use_pallas) or x.shape[0] < 2:
+        return None
+    cout, cin = kern.shape[1], kern.shape[2]
+    cubic3 = kern.shape[-3:] == (3, 3, 3)
+    k = kern.shape[-1]
+    transposed = lhs_dilation is not None
+    disabled = set(
+        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
+    )
+    if (transposed and packed_in and not packed_out and "t2" not in disabled
+            and cubic3 and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
+            and x.shape[-1] == 128 and x.shape[-2] >= 8
+            and cin <= 64 and cout <= 32):
+        return pallas_conv3d_t2_b(x, kern)
+    if (not transposed and packed_out and not packed_in
+            and "s2" not in disabled and cubic3 and strides == (2, 2, 2)
+            and x.shape[-1] == 128 and x.shape[-3] % 4 == 0
+            and x.shape[-2] % 2 == 0 and x.shape[-2] >= 16
+            and cin <= 32 and cout <= 64):
+        return pallas_conv3d_s2_b(x, kern)
+    if (not transposed and packed_in and packed_out
+            and "packed" not in disabled and cubic3 and strides == (1, 1, 1)
+            and x.shape[-1] == 128 and x.shape[-2] >= 8
+            and cin <= 128 and cout <= 128):
+        return pallas_conv3d_packed_b(x, kern)
+    if (not transposed and not packed_in and not packed_out
+            and strides == (1, 1, 1) and k in (1, 3)
+            and kern.shape[-3:] == (k, k, k)
+            and pallas_conv3d_supported(x.shape, k, strides,
+                                        is_transposed=False)):
+        return pallas_conv3d_b(x, kern, k)
+    return None
 
 
 class Convolution(nn.Module):
@@ -463,7 +536,17 @@ class CondConvolution(nn.Module):
             run = lambda xi, ki: conv3d(  # noqa: E731
                 xi, ki, strides, pad, use_pallas=self.use_pallas, **pk
             )
-        if b <= 4:
+        # one batched pallas call for the whole per-sample mixture when a
+        # kernel family supports it (flat compile footprint, no grouped conv)
+        y = cond_conv3d(
+            x, kern,
+            (1, 1, 1) if self.is_transposed else strides,
+            strides if self.is_transposed else None,
+            self.use_pallas, self.packed_in, self.packed_out,
+        )
+        if y is not None:
+            pass
+        elif b <= 4:
             # Unroll per sample: B dense convs beat one grouped conv — XLA's
             # TPU grouped-conv lowering costs ~40% extra (measured 371 ms ->
             # 269 ms forward at 128^3 for the whole conditional U-Net).

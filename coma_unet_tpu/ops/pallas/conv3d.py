@@ -99,13 +99,28 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
                        interpret: bool = False) -> jnp.ndarray:
+    """w is [Cout, Cin, k, k, k], or [B, Cout, Cin, k, k, k] for PER-SAMPLE
+    kernels (the CondConv expert mixture) — one pallas instance either way,
+    the weight block just indexes the batch grid dim."""
     b, cin, dsz, h, wd = x.shape
-    cout = w.shape[0]
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
     # weights as [k^2, Cout, k*Cin] f32: (kh, kw)-indexed taps with the kd
     # dimension stacked along the contraction axis (concat(kd=-1,0,+1) order)
-    w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
-        k * k, cout, k * cin
-    ).astype(jnp.float32)
+    if batched:
+        w_taps = jnp.transpose(w, (0, 4, 5, 1, 3, 2)).reshape(
+            b, k * k, cout, k * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, k * k, cout, k * cin),
+                              lambda bi, di: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+            k * k, cout, k * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((k * k, cout, k * cin),
+                              lambda bi, di: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     grid = (b, dsz)
 
     def idx(off):
@@ -121,13 +136,7 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
     out = pl.pallas_call(
         partial(_conv_kernel, k=k, dsize=dsz),
         grid=grid,
-        in_specs=[
-            spec(-1), spec(0), spec(1),
-            pl.BlockSpec(
-                (k * k, cout, k * cin), lambda bi, di: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=[spec(-1), spec(0), spec(1), w_spec],
         out_specs=pl.BlockSpec(
             (None, cout, None, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
             memory_space=pltpu.VMEM,
@@ -181,15 +190,18 @@ def _xla_conv(x, w, k):
     )
 
 
-def _dw_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, k: int, dsize: int):
+def _dw_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, k: int, dsize: int,
+               batched: bool = False):
     """Accumulate dw[tap, Cout, Cin] across the whole (B, D) grid — the
     output block has a constant index map so it stays resident in VMEM.
+    With `batched`, the output carries a leading B dim (per-sample kernels)
+    and each batch item re-initializes its own block at d == 0.
 
     dw[tap][o, c] = sum_{pixels} g[o, p] * shift_tap(x)[c, p]."""
     b = pl.program_id(0)
     d = pl.program_id(1)
 
-    @pl.when(jnp.logical_and(b == 0, d == 0))
+    @pl.when(d == 0 if batched else jnp.logical_and(b == 0, d == 0))
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -217,10 +229,12 @@ def _dw_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, k: int, dsize: int):
                 )
 
 
-@partial(jax.jit, static_argnames=("k", "interpret"))
+@partial(jax.jit, static_argnames=("k", "batched", "interpret"))
 def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
+                      batched: bool = False,
                       interpret: bool = False) -> jnp.ndarray:
-    """Weight gradient of the stride-1 SAME conv: returns [Cout, Cin, k,k,k]."""
+    """Weight gradient of the stride-1 SAME conv: [Cout, Cin, k, k, k], or
+    per-sample [B, Cout, Cin, k, k, k] when `batched`."""
     b, cin, dsz, h, wd = x.shape
     cout = g.shape[1]
 
@@ -233,8 +247,18 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
     spec = lambda off: pl.BlockSpec(  # noqa: E731
         (None, cin, None, h, wd), idx(off), memory_space=pltpu.VMEM
     )
+    if batched:
+        out_spec = pl.BlockSpec((None, k ** 3, cout, cin),
+                                lambda bi, di: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, k ** 3, cout, cin), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((k ** 3, cout, cin),
+                                lambda bi, di: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32)
     dw_taps = pl.pallas_call(
-        partial(_dw_kernel, k=k, dsize=dsz),
+        partial(_dw_kernel, k=k, dsize=dsz, batched=batched),
         grid=(b, dsz),
         in_specs=[
             spec(-1), spec(0), spec(1),
@@ -242,15 +266,16 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
                          lambda bi, di: (bi, 0, di, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (k ** 3, cout, cin), lambda bi, di: (0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=_CPARAMS,
         interpret=interpret,
     )(x, x, x, g)
-    # [k^3, Cout, Cin] -> [Cout, Cin, k, k, k]
+    # [(B,) k^3, Cout, Cin] -> [(B,) Cout, Cin, k, k, k]
+    if batched:
+        return jnp.transpose(dw_taps, (0, 2, 3, 1)).reshape(
+            b, cout, cin, k, k, k
+        )
     return jnp.transpose(dw_taps, (1, 2, 0)).reshape(cout, cin, k, k, k)
 
 
@@ -275,3 +300,48 @@ def _bwd(k, res, g):
 
 
 pallas_conv3d.defvjp(_fwd, _bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_conv3d_b(x: jnp.ndarray, w: jnp.ndarray, k: int = 3) -> jnp.ndarray:
+    """Stride-1 SAME conv with PER-SAMPLE kernels w [B, Cout, Cin, k, k, k]
+    (the CondConv expert mixture) — ONE pallas instance for the whole batch,
+    replacing B unrolled calls / XLA's grouped-conv lowering."""
+    return _pallas_conv3d_fwd(x, w, k)
+
+
+def _fwd_b(x, w, k):
+    return _pallas_conv3d_fwd(x, w, k), (x, w)
+
+
+def _bwd_b(k, res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    if k == 3:
+        w_t = jnp.flip(w, axis=(3, 4, 5)).transpose(0, 2, 1, 3, 4, 5)
+    else:
+        w_t = w.transpose(0, 2, 1, 3, 4, 5)
+    dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
+    if x.shape[1] == 1:
+        # per-sample weight grad via the grouped XLA conv (see _bwd)
+        def grouped(w_):
+            b, cin = x.shape[:2]
+            cout = w_.shape[1]
+            kg = w_.reshape((b * cout, cin) + w_.shape[3:])
+            xg = x.reshape((1, b * cin) + x.shape[2:])
+            pad = (k - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                xg, kg, (1, 1, 1), [(pad, pad)] * 3,
+                dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+                feature_group_count=b,
+            )
+            return y.reshape((b, cout) + y.shape[2:])
+
+        _, w_vjp = jax.vjp(grouped, w)
+        (dw,) = w_vjp(g)
+    else:
+        dw = _pallas_conv3d_dw(x, g, k, batched=True)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_b.defvjp(_fwd_b, _bwd_b)

@@ -108,12 +108,25 @@ def _packed_fwd(xp: jnp.ndarray, w: jnp.ndarray,
     [B, Cout, D/2, H, 128] (no pack/unpack transposes)."""
     b, cin, d2, h, w2 = xp.shape
     assert w2 == 2 * _HALF
-    cout = w.shape[0]
-    # [9, Cout, 3*Cin]: (kh, kw)-indexed taps, kd stacked on the contraction
-    # axis in concat(kd=-1, 0, +1) order
-    w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
-        9, cout, 3 * cin
-    ).astype(jnp.float32)
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
+    # [(B,) 9, Cout, 3*Cin]: (kh, kw)-indexed taps, kd stacked on the
+    # contraction axis in concat(kd=-1, 0, +1) order; a leading B dim means
+    # per-sample CondConv kernels — still one pallas instance.
+    if batched:
+        w_taps = jnp.transpose(w, (0, 4, 5, 1, 3, 2)).reshape(
+            b, 9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, 9, cout, 3 * cin),
+                              lambda bi, pi: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+            9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((9, cout, 3 * cin),
+                              lambda bi, pi: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     def idx(off):
         def f(bi, pi):
@@ -127,11 +140,7 @@ def _packed_fwd(xp: jnp.ndarray, w: jnp.ndarray,
     return pl.pallas_call(
         partial(_packed_kernel, dsize2=d2),
         grid=(b, d2),
-        in_specs=[
-            spec(-1), spec(0), spec(1),
-            pl.BlockSpec((9, cout, 3 * cin), lambda bi, pi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec(-1), spec(0), spec(1), w_spec],
         out_specs=pl.BlockSpec(
             (None, cout, None, h, w2), lambda bi, pi: (bi, 0, pi, 0, 0),
             memory_space=pltpu.VMEM,
@@ -142,14 +151,16 @@ def _packed_fwd(xp: jnp.ndarray, w: jnp.ndarray,
     )(xp, xp, xp, w_taps)
 
 
-def _dw_packed_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, dsize2: int):
+def _dw_packed_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, dsize2: int,
+                      batched: bool = False):
     """Weight grad on packed slabs: accumulate dw[tap, Cout, Cin] over the
-    (B, D/2) grid — contraction over packed pixels sums both D-slices of a
-    slab, which is exactly the unpacked-pixel sum."""
+    (B, D/2) grid (per batch item when `batched`) — contraction over packed
+    pixels sums both D-slices of a slab, which is exactly the unpacked-pixel
+    sum."""
     b = pl.program_id(0)
     p = pl.program_id(1)
 
-    @pl.when(jnp.logical_and(b == 0, p == 0))
+    @pl.when(p == 0 if batched else jnp.logical_and(b == 0, p == 0))
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -180,10 +191,11 @@ def _dw_packed_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, dsize2: int):
                 )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _packed_dw(xp: jnp.ndarray, g: jnp.ndarray,
+@partial(jax.jit, static_argnames=("batched", "interpret"))
+def _packed_dw(xp: jnp.ndarray, g: jnp.ndarray, batched: bool = False,
                interpret: bool = False) -> jnp.ndarray:
-    """Weight grad of the packed stride-1 conv: [Cout, Cin, 3, 3, 3]."""
+    """Weight grad of the packed stride-1 conv: [Cout, Cin, 3, 3, 3], or
+    per-sample [B, Cout, Cin, 3, 3, 3] when `batched`."""
     b, cin, d2, h, w2 = xp.shape
     cout = g.shape[1]
 
@@ -196,8 +208,17 @@ def _packed_dw(xp: jnp.ndarray, g: jnp.ndarray,
     spec = lambda off: pl.BlockSpec(  # noqa: E731
         (None, cin, None, h, w2), idx(off), memory_space=pltpu.VMEM
     )
+    if batched:
+        out_spec = pl.BlockSpec((None, 27, cout, cin),
+                                lambda bi, pi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 27, cout, cin), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((27, cout, cin), lambda bi, pi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((27, cout, cin), jnp.float32)
     dw_taps = pl.pallas_call(
-        partial(_dw_packed_kernel, dsize2=d2),
+        partial(_dw_packed_kernel, dsize2=d2, batched=batched),
         grid=(b, d2),
         in_specs=[
             spec(-1), spec(0), spec(1),
@@ -205,12 +226,15 @@ def _packed_dw(xp: jnp.ndarray, g: jnp.ndarray,
                          lambda bi, pi: (bi, 0, pi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27, cout, cin), lambda bi, pi: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((27, cout, cin), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=_CPARAMS,
         interpret=interpret,
     )(xp, xp, xp, g)
+    if batched:
+        return jnp.transpose(dw_taps, (0, 2, 3, 1)).reshape(
+            b, cout, cin, 3, 3, 3
+        )
     return jnp.transpose(dw_taps, (1, 2, 0)).reshape(cout, cin, 3, 3, 3)
 
 
@@ -260,3 +284,26 @@ def pallas_conv3d_w64(x: jnp.ndarray, w: jnp.ndarray,
         .transpose(0, 1, 2, 4, 3, 5)
         .reshape(b, cout, dsz, h, wd)
     )
+
+
+@jax.custom_vjp
+def pallas_conv3d_packed_b(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """`pallas_conv3d_packed` with PER-SAMPLE kernels w [B, Cout, Cin, 3,3,3]
+    (CondConv expert mixture) — one pallas instance for the whole batch."""
+    return _packed_fwd(xp, w)
+
+
+def _vjp_b_fwd(xp, w):
+    return _packed_fwd(xp, w), (xp, w)
+
+
+def _vjp_b_bwd(res, g):
+    xp, w = res
+    g = g.astype(xp.dtype)
+    w_t = jnp.flip(w, axis=(3, 4, 5)).transpose(0, 2, 1, 3, 4, 5)
+    dxp = _packed_fwd(g, w_t.astype(w.dtype))
+    dw = _packed_dw(xp, g, batched=True)
+    return dxp.astype(xp.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_packed_b.defvjp(_vjp_b_fwd, _vjp_b_bwd)

@@ -138,13 +138,26 @@ def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
     """k=3 stride-2 SAME conv; returns PACKED output
     [B, Cout, D/4, H/2, W]."""
     b, cin, dsz, h, wd = x.shape
-    cout = w.shape[0]
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
     assert dsz % 4 == 0 and h % 2 == 0 and wd % 2 == 0
-    # [9, Cout, 3*Cin]: (kh, kw)-indexed taps, kd stacked along the
-    # contraction axis in concat(kd=-1, 0, +1) order
-    w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
-        9, cout, 3 * cin
-    ).astype(jnp.float32)
+    # [(B,) 9, Cout, 3*Cin]: (kh, kw)-indexed taps, kd stacked along the
+    # contraction axis in concat(kd=-1, 0, +1) order; a leading B dim means
+    # PER-SAMPLE kernels (CondConv) — same single pallas instance.
+    if batched:
+        w_taps = jnp.transpose(w, (0, 4, 5, 1, 3, 2)).reshape(
+            b, 9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, 9, cout, 3 * cin),
+                              lambda bi, pi: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+            9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((9, cout, 3 * cin),
+                              lambda bi, pi: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     sel = jnp.asarray(_sel_even(wd))
     p_count = dsz // 4  # packed output slabs
 
@@ -162,8 +175,7 @@ def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
         grid=(b, p_count),
         in_specs=[
             spec(-1), spec(0), spec(1), spec(2), spec(3),
-            pl.BlockSpec((9, cout, 3 * cin), lambda bi, pi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((wd, wd // 2), lambda bi, pi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -198,21 +210,27 @@ def _scatter_half(w2: int, half: int) -> np.ndarray:
 
 
 def _t2_kernel(pa_ref, pb_ref, w_ref, s0_ref, s1_ref, o_ref, *, jsize: int):
-    """Grid (B, J): output D-slices (2j, 2j+1) from W+H-dilated input slices
-    j and j+1. Slice j lives in lane half j%2 of packed slab j//2 (pa);
-    slice j+1 in half (j+1)%2 of slab (j+1)//2 (pb)."""
+    """Grid (B, J): output D-slices (2j, 2j+1) from input slices j and j+1
+    (slice j lives in lane half j%2 of packed slab j//2).
+
+    Inputs are dilated in W ONLY (scatter matmul onto even lanes); the H
+    dimension is handled by PHASE: even output rows take the t_h=1 taps on
+    rows i, odd rows take t_h=0 on rows i plus t_h=2 on rows i+1 — computed
+    as two half-height accumulators that interleave at the end (f32
+    reshape-merge). Halves the tap FLOPs and the shifted bytes vs running
+    27 taps on an H-dilated operand, and keeps the Mosaic program small.
+    Contributing t_d slabs (and the t_h variants of the odd phase) stack
+    along channels so each t_w tap is ONE dot with contraction up to 4*Cin."""
     j = pl.program_id(1)
     pa = pa_ref[...]  # packed slab j//2       [Cin, H, 2W]
     pb = pb_ref[...]  # packed slab (j+1)//2   [Cin, H, 2W]
     s0 = s0_ref[...]  # scatter half 0 -> even lanes [2W, 2W]
     s1 = s1_ref[...]  # scatter half 1 -> even lanes
 
-    def dilate(slab, parity):
-        # W: pick the slice's lane half and spread onto even lanes (exact 0/1
-        # matmul on the MXU); parity is traced — select between both halves.
-        # Mosaic rejects mixed-dtype dots; a one-hot scatter is exact in
-        # the operand dtype itself (each output sums exactly one input), so
-        # match dtypes and only force HIGHEST for f32 test data.
+    def wdilate(slab, parity):
+        # pick the slice's lane half and spread onto even lanes (one-hot
+        # scatter: exact in the operand dtype; parity is traced — select
+        # between both halves; HIGHEST only for f32 test data)
         sel = jnp.where(parity == 0, s0, s1).astype(slab.dtype)
         prec = (jax.lax.Precision.HIGHEST
                 if slab.dtype == jnp.float32 else None)
@@ -221,48 +239,59 @@ def _t2_kernel(pa_ref, pb_ref, w_ref, s0_ref, s1_ref, o_ref, *, jsize: int):
             preferred_element_type=jnp.float32,
             precision=prec,
         )  # [Cin, H, 2W] f32, odd lanes zero
-        # H: interleave zeros via the f32 reshape-merge (sublane reshapes
-        # only lower in f32)
-        c, h, w2 = de.shape
-        dil = jnp.concatenate(
-            [de[:, :, None, :], jnp.zeros((c, h, 1, w2), de.dtype)], axis=2
-        ).reshape(c, 2 * h, w2)
-        return dil.astype(pa.dtype)  # [Cin, 2H, 2W] bf16
+        return de.astype(slab.dtype)
 
-    dil_j = dilate(pa, j % 2)
-    dil_j1 = dilate(pb, (j + 1) % 2)
+    dil_j = wdilate(pa, j % 2)
+    dil_j1 = wdilate(pb, (j + 1) % 2)
     # out-of-volume top halo: slice j+1 doesn't exist for the last j
     dil_j1 = jnp.where(j < jsize - 1, dil_j1, 0.0)
 
+    def wk_cat(pairs, dtype):
+        # [Cout, sum(Cin)] tap-weight stack matching a channel-concatenated
+        # operand; pairs = ((t_d, t_h), ...)
+        return jnp.concatenate(
+            [w_ref[(t_d * 3 + t_h) * 3 + t_w] for (t_d, t_h) in pairs],
+            axis=1,
+        ).astype(dtype)
+
     outs = []
     for r_d in (0, 1):  # output D-slice 2j + r_d
-        # D-taps with a nonzero dilated-D operand: r_d=0 -> t_d=1 on slice j;
-        # r_d=1 -> t_d=0 on slice j, t_d=2 on slice j+1. For r_d=1 the two
-        # contributions are STACKED along channels so each (t_h, t_w) tap is
-        # one dot with contraction dim 2*Cin (2x MXU utilization).
+        # nonzero dilated-D taps: r_d=0 -> t_d=1 on slice j;
+        # r_d=1 -> t_d=0 on slice j, t_d=2 on slice j+1
         if r_d == 0:
             cat = dil_j
             tds = (1,)
         else:
             cat = jnp.concatenate([dil_j, dil_j1], axis=0)
             tds = (0, 2)
-        acc = None
-        for t_h in (0, 1, 2):
-            for t_w in (0, 1, 2):
-                s = _shift_hw(cat, t_h - 1, t_w - 1)
-                wk = jnp.concatenate(
-                    [w_ref[(t_d * 3 + t_h) * 3 + t_w] for t_d in tds],
-                    axis=1,
-                ).astype(s.dtype)  # [Cout, len(tds)*Cin]
-                prec = (jax.lax.Precision.HIGHEST
-                        if s.dtype == jnp.float32 else None)
-                d = jax.lax.dot_general(
-                    wk, s, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-                acc = d if acc is None else acc + d
-        outs.append(acc.astype(o_ref.dtype))
+        # odd-row phase operand: rows i and i+1 stacked along channels
+        cat_o = jnp.concatenate([cat, _shift_hw(cat, 1, 0)], axis=0)
+        acc_e = acc_o = None
+        prec = (jax.lax.Precision.HIGHEST
+                if cat.dtype == jnp.float32 else None)
+        for t_w in (0, 1, 2):
+            se = _shift_hw(cat, 0, t_w - 1)
+            de = jax.lax.dot_general(
+                wk_cat(tuple((t_d, 1) for t_d in tds), se.dtype), se,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            acc_e = de if acc_e is None else acc_e + de
+            so = _shift_hw(cat_o, 0, t_w - 1)
+            do = jax.lax.dot_general(
+                wk_cat(tuple((t_d, 0) for t_d in tds)
+                       + tuple((t_d, 2) for t_d in tds), so.dtype), so,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            acc_o = do if acc_o is None else acc_o + do
+        # interleave rows (out[2i] = acc_e[i], out[2i+1] = acc_o[i]) via the
+        # f32 reshape-merge (sublane reshapes only lower in f32)
+        c, hh, ww = acc_e.shape
+        merged = jnp.concatenate(
+            [acc_e[:, :, None, :], acc_o[:, :, None, :]], axis=2
+        ).reshape(c, 2 * hh, ww)
+        outs.append(merged.astype(o_ref.dtype))
     o_ref[...] = jnp.stack(outs, axis=1)  # [Cout, 2, 2H, 2W]
 
 
@@ -273,11 +302,22 @@ def _t2_fwd(xp: jnp.ndarray, w: jnp.ndarray,
     (P packed slabs = 2P input D-slices, read from lane halves in-kernel).
     Returns full-resolution [B, Cout, 4P, 2H, 2W] = 2x upsampled NCDHW."""
     b, cin, p_cnt, h, w2 = xp.shape
-    cout = w.shape[0]
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
     jsize = 2 * p_cnt  # input D-slices
-    w_taps = jnp.transpose(w.reshape(cout, cin, -1), (2, 0, 1)).astype(
-        jnp.float32
-    )
+    if batched:
+        w_taps = jnp.transpose(
+            w.reshape(b, cout, cin, -1), (0, 3, 1, 2)
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, 27, cout, cin),
+                              lambda bi, ji: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w.reshape(cout, cin, -1), (2, 0, 1)).astype(
+            jnp.float32
+        )
+        w_spec = pl.BlockSpec((27, cout, cin), lambda bi, ji: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     s0 = jnp.asarray(_scatter_half(w2, 0))
     s1 = jnp.asarray(_scatter_half(w2, 1))
 
@@ -295,8 +335,7 @@ def _t2_fwd(xp: jnp.ndarray, w: jnp.ndarray,
         grid=(b, jsize),
         in_specs=[
             spec(0), spec(1),
-            pl.BlockSpec((27, cout, cin), lambda bi, ji: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((w2, w2), lambda bi, ji: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w2, w2), lambda bi, ji: (0, 0),
@@ -348,16 +387,22 @@ def _dilate_half(slab: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     return dil.astype(slab.dtype)
 
 
-def _dw_dil_kernel(x0_ref, x1_ref, x2_ref, g_ref, s0_ref, s1_ref, o_ref):
+def _dw_dil_kernel(x0_ref, x1_ref, x2_ref, g_ref, s0_ref, s1_ref, o_ref, *,
+                   batched: bool = False):
     """Grid (B, P, 2): packed slice 2p + oo against its three full-res
     D-neighbors (refs at 4p + 2*oo + t_d - 1). o_ref [27, C_packed, C_full]
-    accumulates across the whole grid. The slice loop lives in the GRID (not
+    accumulates across the whole grid (per batch item when `batched` — the
+    per-sample CondConv weight grad). The slice loop lives in the GRID (not
     unrolled in-kernel) to keep the Mosaic program small enough to compile."""
     b = pl.program_id(0)
     p = pl.program_id(1)
     oo = pl.program_id(2)
 
-    @pl.when(jnp.logical_and(jnp.logical_and(b == 0, p == 0), oo == 0))
+    first = jnp.logical_and(p == 0, oo == 0)
+    if not batched:
+        first = jnp.logical_and(b == 0, first)
+
+    @pl.when(first)
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
 
@@ -385,10 +430,11 @@ def _dw_dil_kernel(x0_ref, x1_ref, x2_ref, g_ref, s0_ref, s1_ref, o_ref):
                 )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray,
+@partial(jax.jit, static_argnames=("batched", "interpret"))
+def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
             interpret: bool = False) -> jnp.ndarray:
-    """Returns dw [27, C_packed, C_full] (see block comment above)."""
+    """Returns dw [27, C_packed, C_full], or per-sample
+    [B, 27, C_packed, C_full] when `batched` (see block comment above)."""
     b, cf, dsz, h, wd = full.shape
     _, cp, p_cnt, h2, w2 = packed.shape
     assert dsz == 4 * p_cnt and h == 2 * h2 and wd == w2
@@ -404,8 +450,18 @@ def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray,
     )
     s0 = jnp.asarray(_scatter_half(wd, 0))
     s1 = jnp.asarray(_scatter_half(wd, 1))
+    if batched:
+        out_spec = pl.BlockSpec((None, 27, cp, cf),
+                                lambda bi, pi, oi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 27, cp, cf), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((27, cp, cf),
+                                lambda bi, pi, oi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((27, cp, cf), jnp.float32)
     return pl.pallas_call(
-        _dw_dil_kernel,
+        partial(_dw_dil_kernel, batched=batched),
         grid=(b, p_cnt, 2),
         in_specs=[
             spec(-1), spec(0), spec(1),
@@ -417,12 +473,63 @@ def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray,
             pl.BlockSpec((wd, wd), lambda bi, pi, oi: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((27, cp, cf), lambda bi, pi, oi: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((27, cp, cf), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         compiler_params=_CPARAMS,
         interpret=interpret,
     )(full, full, full, packed, s0, s1)
+
+
+
+
+def _disabled() -> set:
+    """COMA_PALLAS_DISABLE families (trace-time): lets a VJP swap its
+    cross-kernel (s2<->t2) dx for the XLA fallback so a disabled family
+    contributes NO Mosaic program anywhere — the remote compile helper
+    OOMs on too many large kernels in one module (see models/blocks.py)."""
+    import os
+
+    return set(
+        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
+    )
+
+
+def _xla_t2_fallback(gp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """XLA lhs-dilated conv on the unpacked cotangent (dx of the stride-2
+    conv when the t2 kernel family is disabled). w may be per-sample."""
+    g = unpack_w(gp)
+    pad = [(1, 2)] * 3
+
+    def one(gi, wi):
+        return jax.lax.conv_general_dilated(
+            gi, wi, (1, 1, 1), pad, lhs_dilation=(2, 2, 2),
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+
+    if w.ndim == 6:
+        return jnp.concatenate(
+            [one(g[i:i + 1], w[i]) for i in range(g.shape[0])]
+        )
+    return one(g, w)
+
+
+def _xla_s2_fallback(g: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Packed-output XLA stride-2 conv (dx of the transposed conv when the
+    s2 kernel family is disabled). w may be per-sample."""
+
+    def one(gi, wi):
+        return jax.lax.conv_general_dilated(
+            gi, wi, (2, 2, 2), [(1, 1)] * 3,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+
+    if w.ndim == 6:
+        y = jnp.concatenate(
+            [one(g[i:i + 1], w[i]) for i in range(g.shape[0])]
+        )
+    else:
+        y = one(g, w)
+    return pack_w(y)
 
 
 def _flip_t(w: jnp.ndarray) -> jnp.ndarray:
@@ -449,7 +556,9 @@ def _s2_vjp_fwd(x, w):
 def _s2_vjp_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
-    dx = _t2_fwd(g, _flip_t(w).astype(w.dtype))
+    w_t = _flip_t(w).astype(w.dtype)
+    dx = (_xla_t2_fallback(g, w_t) if "t2" in _disabled()
+          else _t2_fwd(g, w_t))
     dw = _dw_dil(x, g)  # [27, Cout, Cin]
     cout, cin = w.shape[0], w.shape[1]
     dw = jnp.transpose(dw, (1, 2, 0)).reshape(cout, cin, 3, 3, 3)
@@ -473,7 +582,9 @@ def _t2_vjp_fwd(xp, w):
 def _t2_vjp_bwd(res, g):
     xp, w = res
     g = g.astype(xp.dtype)
-    dxp = _s2_fwd(g, _flip_t(w).astype(w.dtype))
+    w_t = _flip_t(w).astype(w.dtype)
+    dxp = (_xla_s2_fallback(g, w_t) if "s2" in _disabled()
+           else _s2_fwd(g, w_t))
     dw = _dw_dil(g, xp)  # [27, Cin, Cout] with flipped taps (t' = 2 - t)
     cout, cin = w.shape[0], w.shape[1]
     dw = jnp.transpose(dw, (2, 1, 0)).reshape(cout, cin, 3, 3, 3)
@@ -482,3 +593,60 @@ def _t2_vjp_bwd(res, g):
 
 
 pallas_conv3d_t2.defvjp(_t2_vjp_fwd, _t2_vjp_bwd)
+
+
+def _flip_t_b(w: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample flip/io-swap: [B, Cout, Cin, 3,3,3] -> [B, Cin, Cout, ...]."""
+    return jnp.flip(w, axis=(3, 4, 5)).transpose(0, 2, 1, 3, 4, 5)
+
+
+@jax.custom_vjp
+def pallas_conv3d_s2_b(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """`pallas_conv3d_s2` with PER-SAMPLE kernels w [B, Cout, Cin, 3, 3, 3]
+    (CondConv expert mixture) — one pallas instance for the whole batch."""
+    return _s2_fwd(x, w)
+
+
+def _s2_b_vjp_fwd(x, w):
+    return _s2_fwd(x, w), (x, w)
+
+
+def _s2_b_vjp_bwd(res, g):
+    x, w = res
+    g = g.astype(x.dtype)
+    w_t = _flip_t_b(w).astype(w.dtype)
+    dx = (_xla_t2_fallback(g, w_t) if "t2" in _disabled()
+          else _t2_fwd(g, w_t))
+    dw = _dw_dil(x, g, batched=True)  # [B, 27, Cout, Cin]
+    b, cout, cin = w.shape[0], w.shape[1], w.shape[2]
+    dw = jnp.transpose(dw, (0, 2, 3, 1)).reshape(b, cout, cin, 3, 3, 3)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_s2_b.defvjp(_s2_b_vjp_fwd, _s2_b_vjp_bwd)
+
+
+@jax.custom_vjp
+def pallas_conv3d_t2_b(xp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """`pallas_conv3d_t2` with PER-SAMPLE kernels w [B, Cout, Cin, 3, 3, 3]."""
+    return _t2_fwd(xp, w)
+
+
+def _t2_b_vjp_fwd(xp, w):
+    return _t2_fwd(xp, w), (xp, w)
+
+
+def _t2_b_vjp_bwd(res, g):
+    xp, w = res
+    g = g.astype(xp.dtype)
+    w_t = _flip_t_b(w).astype(w.dtype)
+    dxp = (_xla_s2_fallback(g, w_t) if "s2" in _disabled()
+           else _s2_fwd(g, w_t))
+    dw = _dw_dil(g, xp, batched=True)  # [B, 27, Cin, Cout], flipped taps
+    b, cout, cin = w.shape[0], w.shape[1], w.shape[2]
+    dw = jnp.transpose(dw, (0, 3, 2, 1)).reshape(b, cout, cin, 3, 3, 3)
+    dw = jnp.flip(dw, axis=(3, 4, 5))
+    return dxp.astype(xp.dtype), dw.astype(w.dtype)
+
+
+pallas_conv3d_t2_b.defvjp(_t2_b_vjp_fwd, _t2_b_vjp_bwd)

@@ -170,3 +170,111 @@ def test_packed_level_model_parity(conditional):
             np.asarray(a, np.float32), np.asarray(b, np.float32),
             rtol=1e-3, atol=1e-4 * gmax,
         )
+
+
+def test_batched_weight_kernels_match_per_sample():
+    """The batched-weight (per-sample CondConv kernel) variants must equal a
+    per-sample loop of the shared-weight kernels, forward and VJP."""
+    import coma_unet_tpu.ops.pallas.conv3d as c3
+    from coma_unet_tpu.ops.pallas.conv3d_packed import (
+        _packed_dw, _packed_fwd,
+    )
+
+    rng = np.random.default_rng(7)
+    b, cin, cout, d, h, wd = 3, 4, 5, 8, 8, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (b, cin, d, h, wd)), jnp.float32)
+    wb = jnp.asarray(rng.uniform(-0.3, 0.3, (b, cout, cin, 3, 3, 3)),
+                     jnp.float32)
+
+    # stride-1
+    out_b = c3._pallas_conv3d_fwd(x, wb, 3, interpret=True)
+    ref = jnp.concatenate([
+        c3._pallas_conv3d_fwd(x[i:i + 1], wb[i], 3, interpret=True)
+        for i in range(b)
+    ])
+    assert _rel(out_b, ref) < 1e-6
+    g = jnp.asarray(rng.uniform(-1, 1, out_b.shape), jnp.float32)
+    dw_b = c3._pallas_conv3d_dw(x, g, 3, batched=True, interpret=True)
+    for i in range(b):
+        dw_i = c3._pallas_conv3d_dw(x[i:i + 1], g[i:i + 1], 3,
+                                    interpret=True)
+        assert _rel(dw_b[i], dw_i) < 1e-6
+
+    # stride-2 (packed out)
+    out_b = strided._s2_fwd(x, wb, interpret=True)
+    ref = jnp.concatenate([
+        strided._s2_fwd(x[i:i + 1], wb[i], interpret=True) for i in range(b)
+    ])
+    assert _rel(out_b, ref) < 1e-6
+    gp = jnp.asarray(rng.uniform(-1, 1, out_b.shape), jnp.float32)
+    dwd_b = strided._dw_dil(x, gp, batched=True, interpret=True)
+    for i in range(b):
+        dwd_i = strided._dw_dil(x[i:i + 1], gp[i:i + 1], interpret=True)
+        assert _rel(dwd_b[i], dwd_i) < 1e-6
+
+    # transposed (packed in)
+    xp = strided.pack_w(x)
+    wt = jnp.asarray(rng.uniform(-0.3, 0.3, (b, cout, cin, 3, 3, 3)),
+                     jnp.float32)
+    out_b = strided._t2_fwd(xp, wt, interpret=True)
+    ref = jnp.concatenate([
+        strided._t2_fwd(xp[i:i + 1], wt[i], interpret=True) for i in range(b)
+    ])
+    assert _rel(out_b, ref) < 1e-6
+
+    # packed stride-1
+    x64 = jnp.asarray(rng.uniform(-1, 1, (b, cin, d, h, 64)), jnp.float32)
+    xp64 = strided.pack_w(x64)
+    out_b = _packed_fwd(xp64, wb, interpret=True)
+    ref = jnp.concatenate([
+        _packed_fwd(xp64[i:i + 1], wb[i], interpret=True) for i in range(b)
+    ])
+    assert _rel(out_b, ref) < 1e-6
+    g64 = jnp.asarray(rng.uniform(-1, 1, out_b.shape), jnp.float32)
+    dwp_b = _packed_dw(xp64, g64, batched=True, interpret=True)
+    for i in range(b):
+        dwp_i = _packed_dw(xp64[i:i + 1], g64[i:i + 1], interpret=True)
+        assert _rel(dwp_b[i], dwp_i) < 1e-6
+
+
+def test_batched_vjp_ops_match_xla():
+    """pallas_conv3d_{s2,t2}_b custom VJPs vs jax.vjp of per-sample XLA."""
+    rng = np.random.default_rng(8)
+    b, cin, cout, d, h, wd = 2, 3, 4, 8, 8, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (b, cin, d, h, wd)), jnp.float32)
+    wb = jnp.asarray(rng.uniform(-0.3, 0.3, (b, cout, cin, 3, 3, 3)),
+                     jnp.float32)
+
+    def xla_s2_b(x_, w_):
+        return jnp.concatenate([
+            _xla_s2(x_[i:i + 1], w_[i]) for i in range(b)
+        ])
+
+    ref, vjp = jax.vjp(xla_s2_b, x, wb)
+    g = jnp.asarray(rng.uniform(-1, 1, ref.shape), jnp.float32)
+    rdx, rdw = vjp(g)
+    gp = strided.pack_w(g)
+    dx = strided._t2_fwd(gp, strided._flip_t_b(wb), interpret=True)
+    dwd = strided._dw_dil(x, gp, batched=True, interpret=True)
+    dw = jnp.transpose(dwd, (0, 2, 3, 1)).reshape(b, cout, cin, 3, 3, 3)
+    assert _rel(strided.unpack_w(strided._s2_fwd(x, wb, interpret=True)),
+                ref) < 1e-5
+    assert _rel(dx, rdx) < 1e-5 and _rel(dw, rdw) < 1e-5
+
+    def xla_t2_b(x_, w_):
+        return jnp.concatenate([
+            _xla_t2(x_[i:i + 1], w_[i]) for i in range(b)
+        ])
+
+    ref2, vjp2 = jax.vjp(xla_t2_b, x, wb)
+    g2 = jnp.asarray(rng.uniform(-1, 1, ref2.shape), jnp.float32)
+    rdx2, rdw2 = vjp2(g2)
+    xp = strided.pack_w(x)
+    dxp = strided._s2_fwd(g2, strided._flip_t_b(wb), interpret=True)
+    dwd2 = strided._dw_dil(g2, xp, batched=True, interpret=True)
+    dw2 = jnp.flip(
+        jnp.transpose(dwd2, (0, 3, 2, 1)).reshape(b, cout, cin, 3, 3, 3),
+        axis=(3, 4, 5))
+    assert _rel(strided._t2_fwd(xp, wb, interpret=True), ref2) < 1e-5
+    assert _rel(strided.unpack_w(dxp), rdx2) < 1e-5
+    assert _rel(dw2, rdw2) < 1e-5
