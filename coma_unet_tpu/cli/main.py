@@ -75,6 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
     common(t)
     t.add_argument("-resume_training", action="store_true")
     t.add_argument("-cross_val", action="store_true")
+    t.add_argument("--train_lookup", default=None,
+                   help="explicit training lookup CSV (overrides "
+                        "splits_dir/fold; the single_split_validation "
+                        "ADNI-train/A4-test driver, validation.py:392-477)")
+    t.add_argument("--test_lookup_file", default=None,
+                   help="explicit test lookup CSV (single-split driver)")
     t.add_argument("--epochs", type=int, default=61)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--combined", action="store_true",
@@ -232,8 +238,15 @@ def _build_loaders(args, config):
         if getattr(args, "predictions_json", None) else None
     )
     k = config.data.fold
-    train_csv = os.path.join(config.data.splits_dir, f"training_lookup_{k}.csv")
-    test_csv = os.path.join(config.data.splits_dir, f"test_lookup_{k}.csv")
+    # explicit lookup files override the fold layout — the
+    # `single_split_validation` driver (ADNI-train / A4-test,
+    # `validation.py:392-477`)
+    train_csv = getattr(args, "train_lookup", None) or os.path.join(
+        config.data.splits_dir, f"training_lookup_{k}.csv"
+    )
+    test_csv = getattr(args, "test_lookup_file", None) or os.path.join(
+        config.data.splits_dir, f"test_lookup_{k}.csv"
+    )
     ds_kwargs = dict(
         template_space=config.data.template_space,
         smoothing=config.data.smoothing,

@@ -118,11 +118,18 @@ class AttentionUNet(nn.Module):
                   **block_args)(x, cov_block, train)
         encoder: List[jnp.ndarray] = [h]
         skip1_packed = None
+        # The packed level runs WITHOUT remat: its activations are 8x smaller
+        # than level 0's (so storing them is cheap), and avoiding the
+        # backward recompute halves both the step's Pallas work and the
+        # number of large Mosaic kernels per compiled module (the remote
+        # compile helper OOMs past a cumulative kernel budget).
+        pk_args = dict(block_args, remat=False)
         for i in range(depth - 1):
             pk = packed_lvl and i == 0
-            h = Block(
+            h = (Block if not pk else ConvBlock)(
                 out_channels=channels[i + 1], strides=strides[i],
-                name=f"down{i}", packed_out=pk, **block_args,
+                name=f"down{i}", packed_out=pk,
+                **(block_args if not pk else pk_args),
             )(h, cov_block, train)
             if pk:
                 skip1_packed = h
@@ -136,7 +143,7 @@ class AttentionUNet(nn.Module):
         for i in range(depth - 2, -1, -1):
             pk_lvl = packed_lvl and i == 1   # 64^3 gate/merge run packed
             pk_in = packed_lvl and i == 0    # up0 consumes the packed merge
-            up = Up(
+            up = (Up if not pk_in else UpBlock)(
                 out_channels=channels[i], strides=strides[i],
                 kernel_size=cfg.up_kernel_size, dropout=cfg.dropout,
                 conditional=cfg.conditional, num_covars=cfg.num_covars,
@@ -146,13 +153,13 @@ class AttentionUNet(nn.Module):
             )(d, cov_full, train)
             up_l = pack_w(up) if pk_lvl else up
             skip = skip1_packed if pk_lvl else encoder[i]
-            att, psi = Gate(
+            att, psi = (Gate if not pk_lvl else AttentionGate)(
                 f_int=max(channels[i] // 2, 1), norm=cfg.norm,
-                remat=cfg.remat, use_pallas=cfg.pallas_convs,
+                remat=cfg.remat and not pk_lvl, use_pallas=cfg.pallas_convs,
                 packed=pk_lvl, dtype=dtype,
                 param_dtype=pdtype, name=f"gate{i}",
             )(up_l, skip, train)
-            merged = Merge(
+            merged = (Merge if not pk_lvl else Convolution)(
                 out_channels=channels[i], kernel_size=3, act="prelu",
                 norm=cfg.norm, dropout=cfg.dropout,
                 use_pallas=cfg.pallas_convs,

@@ -101,6 +101,9 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
       * grads `psum` over 'data' (total-loss gradient, matching the
         reference's sum-reduced objective).
     """
+    from coma_unet_tpu.train.step import train_model_variant
+
+    model = train_model_variant(model)
     from coma_unet_tpu.losses.contrastive import rnc_loss, truncated_cds
     from coma_unet_tpu.losses.roi_losses import roi_mse
     from coma_unet_tpu.train.step import _apply, optax_global_norm

@@ -80,6 +80,30 @@ def _apply(model, params, batch_stats, batch, prefix, train, rng, with_projectio
     return outs, new_bs
 
 
+def train_model_variant(model):
+    """The model variant traced inside TRAIN steps.
+
+    The packed-64^3-level Pallas family (s2/t2/packed, conv3d_strided.py) is
+    disabled for training: the fwd+bwd module would contain ~8 large Mosaic
+    kernels and the remote TPU compile helper is OOM-killed past a cumulative
+    kernel budget (measured: forward-only with all families compiles in
+    ~7 min; the train step is SIGKILLed even with per-level remat off and
+    pre-warmed kernel caches). Training keeps the r1-proven graph plus the
+    batched CondConv stride-1 kernels; eval/inference — the latency-critical
+    serving path — run the full kernel set. Re-enable with
+    COMA_TRAIN_PACKED=1 once the toolchain's compile budget allows.
+    """
+    import dataclasses
+    import os
+
+    if os.environ.get("COMA_TRAIN_PACKED") == "1":
+        return model
+    cfg = getattr(model, "config", None)
+    if cfg is not None and getattr(cfg, "packed_level", False):
+        return type(model)(dataclasses.replace(cfg, packed_level=False))
+    return model
+
+
 def make_train_step(
     model,
     loss_config: LossConfig,
@@ -89,6 +113,7 @@ def make_train_step(
     """Returns train_step(state, batch, roi_weights, rng) -> (state, metrics).
     `return_grads` adds the raw gradient pytree to the metrics dict (test /
     debug only — doubles the step's live memory)."""
+    model = train_model_variant(model)
     criterion = GenerativeContrastiveLoss(loss_config)
     rnc = loss_config.rnc
 

@@ -167,3 +167,28 @@ def test_cli_infer_spatial_parallel(cohort, tiny_config_file, tmp_path):  # noqa
     vol = load_nifti_vol(os.path.join(out_dir, outs[0]), resize=False)
     assert vol.shape == (1, 16, 16, 16)
     assert np.isfinite(vol).all()
+
+
+def test_cli_train_single_split(cohort, tiny_config_file, tmp_path):  # noqa: F811
+    """Explicit --train_lookup/--test_lookup_file override the fold layout
+    (the ADNI-train/A4-test `single_split_validation` driver,
+    `validation.py:392-477`)."""
+    df = pd.read_csv(cohort["lookup"])
+    train_csv = str(tmp_path / "adni_train.csv")
+    test_csv = str(tmp_path / "a4_test.csv")
+    df.iloc[:6].to_csv(train_csv, index=False)
+    df.iloc[6:].to_csv(test_csv, index=False)
+    rc = main([
+        "train", "--config", tiny_config_file,
+        "--train_lookup", train_csv,
+        "--test_lookup_file", test_csv,
+        "--covariate_csv", cohort["cov"],
+        "--quartile_csv", cohort["quart"],
+        "--predictions_json", cohort["preds"],
+    ])
+    assert rc == 0
+    results = os.listdir(str(tmp_path / "results"))
+    assert len(results) == 1
+    run_dir = str(tmp_path / "results" / results[0])
+    assert os.path.exists(os.path.join(run_dir, "validation_metric_results",
+                                       "mae.csv"))
