@@ -151,6 +151,15 @@ class AttentionUNet(nn.Module):
                 use_pallas=cfg.pallas_convs, packed_in=pk_in,
                 dtype=dtype, param_dtype=pdtype, name=f"up{i}",
             )(d, cov_full, train)
+            if up.shape[2:] != encoder[i].shape[2:]:
+                # odd level sizes (e.g. template-space 216^3: 27 -> up 28):
+                # crop the upsample to the skip, classic U-Net style. The
+                # reference's own flagship CRASHES here (ConvTranspose3d
+                # emits 2*d vs the odd skip; its template-space direct path
+                # was never validated — SURVEY §5) — cropping makes direct
+                # 216^3 training well-defined.
+                ed, eh, ew = encoder[i].shape[2:]
+                up = up[:, :, :ed, :eh, :ew]
             up_l = pack_w(up) if pk_lvl else up
             skip = skip1_packed if pk_lvl else encoder[i]
             att, psi = (Gate if not pk_lvl else AttentionGate)(

@@ -119,3 +119,33 @@ def test_transposed_condconv_doubles_size(rng):
     params = mod.init(rng, x, cov)
     y = mod.apply(params, x, cov)
     assert y.shape == (2, 2, 10, 10, 10)
+
+
+def test_flagship_odd_template_geometry():
+    """Template-space 216^3 produces odd level sizes (27 at level 3); the
+    decoder crops the upsample to the skip (the torch reference crashes
+    here — its direct template-space path was never validated). Scaled-down
+    odd geometry: 28 -> 14 -> 7 -> 4 -> 2."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coma_unet_tpu.config import ModelConfig
+    from coma_unet_tpu.models.attention_unet import AttentionUNet
+
+    s = 28
+    cfg = ModelConfig(
+        channels=(2, 3, 4, 5, 6), strides=(2, 2, 2, 2),
+        latent_spaces=(8,) * 5, prompt_shape=(s, s, s), num_experts=2,
+        compute_dtype="float32", remat=False,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 1, s, s, s)), jnp.float32)
+    cov = jnp.asarray(rng.uniform(0, 1, (1, 1, 6)), jnp.float32)
+    m = AttentionUNet(cfg)
+    params = m.init(jax.random.PRNGKey(0), x, cov, train=False)
+    out = m.apply(params, x, cov, train=False)
+    assert out.out.shape == (1, 1, s, s, s)
+    assert np.isfinite(np.asarray(out.out)).all()
+    sizes = [f.shape[-1] for f in out.encoder]
+    assert sizes == [28, 14, 7, 4, 2]
