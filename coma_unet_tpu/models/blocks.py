@@ -222,14 +222,31 @@ def conv3d(
         k = kernel.shape[-1]
         cubic = kernel.shape[-3:] == (k, k, k)
         cin = x.shape[1]
+        wd = x.shape[-1]
+        # W > 128 but not lane-aligned (e.g. template-space 216^3): zero-pad
+        # W up to the next multiple of 128 — exact for SAME convs (the pad
+        # columns only feed outputs inside the cropped-off pad region), and
+        # ~1.2x padding beats XLA's up-to-15x channel-minor relayout
+        # (measured: two 4.8 GB HLO temps for one bf16[1,16,216^3] chain).
+        pad = (-wd) % 128 if wd > 128 else 0
+        pshape = x.shape[:-1] + (wd + pad,)
+
+        def padded(a):
+            return jnp.pad(
+                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+            ) if pad else a
+
+        def cropped(y):
+            return y[..., :wd] if pad else y
+
         if cubic and pallas_conv3d_supported(
-            x.shape, k, strides, is_transposed=False, groups=groups
+            pshape, k, strides, is_transposed=False, groups=groups
         ):
-            return pallas_conv3d(x, kernel, k)
+            return cropped(pallas_conv3d(padded(x), kernel, k))
         if (
             cubic and groups == 1 and 32 < cin <= 64
             and pallas_conv3d_supported(
-                (x.shape[0], 32) + x.shape[2:], k, strides,
+                (x.shape[0], 32) + pshape[2:], k, strides,
                 is_transposed=False,
             )
         ):
@@ -237,8 +254,10 @@ def conv3d(
             # two <=32-channel pallas convs and add (exact) — covers the
             # 64->32 merge conv at full resolution
             h = cin // 2
-            return pallas_conv3d(x[:, :h], kernel[:, :h], k) + pallas_conv3d(
-                x[:, h:], kernel[:, h:], k
+            xp_ = padded(x)
+            return cropped(
+                pallas_conv3d(xp_[:, :h], kernel[:, :h], k)
+                + pallas_conv3d(xp_[:, h:], kernel[:, h:], k)
             )
     # NB: no preferred_element_type override — for bf16 operands the TPU MXU
     # accumulates in f32 natively, and forcing f32 outputs breaks the conv
@@ -384,10 +403,16 @@ def cond_conv3d(
         return pallas_conv3d_packed_b(x, kern)
     if (not transposed and not packed_in and not packed_out
             and strides == (1, 1, 1) and k in (1, 3)
-            and kern.shape[-3:] == (k, k, k)
-            and pallas_conv3d_supported(x.shape, k, strides,
-                                        is_transposed=False)):
-        return pallas_conv3d_b(x, kern, k)
+            and kern.shape[-3:] == (k, k, k)):
+        # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME)
+        wd = x.shape[-1]
+        pad = (-wd) % 128 if wd > 128 else 0
+        pshape = x.shape[:-1] + (wd + pad,)
+        if pallas_conv3d_supported(pshape, k, strides, is_transposed=False):
+            if pad:
+                xp_ = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+                return pallas_conv3d_b(xp_, kern, k)[..., :wd]
+            return pallas_conv3d_b(x, kern, k)
     return None
 
 
