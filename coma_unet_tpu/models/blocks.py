@@ -228,7 +228,10 @@ def conv3d(
         # columns only feed outputs inside the cropped-off pad region), and
         # ~1.2x padding beats XLA's up-to-15x channel-minor relayout
         # (measured: two 4.8 GB HLO temps for one bf16[1,16,216^3] chain).
-        pad = (-wd) % 128 if wd > 128 else 0
+        # k == 1 only: the padded k=3 Mosaic programs at 216^3 slab sizes
+        # exceed the remote compile helper's budget, and the measured HBM
+        # monsters are the k=1 gate/norm chains.
+        pad = (-wd) % 128 if (wd > 128 and k == 1) else 0
         pshape = x.shape[:-1] + (wd + pad,)
 
         def padded(a):
@@ -404,9 +407,10 @@ def cond_conv3d(
     if (not transposed and not packed_in and not packed_out
             and strides == (1, 1, 1) and k in (1, 3)
             and kern.shape[-3:] == (k, k, k)):
-        # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME)
+        # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME;
+        # k == 1 only — see conv3d)
         wd = x.shape[-1]
-        pad = (-wd) % 128 if wd > 128 else 0
+        pad = (-wd) % 128 if (wd > 128 and k == 1) else 0
         pshape = x.shape[:-1] + (wd + pad,)
         if pallas_conv3d_supported(pshape, k, strides, is_transposed=False):
             if pad:
