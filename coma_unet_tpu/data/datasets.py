@@ -52,6 +52,12 @@ class VolumeDataset:
     ):
         self.lookup_df = load_lookup_csv(lookup, drop_missing_files=drop_missing_files)
         self.resize = resize
+        # file-type override switches to template space for w* files
+        # (`VolumeDataset.py:111-119`); resolved HERE, not per-item — the
+        # threaded DataLoader maps __getitem__ over a pool, and mutating
+        # shared state from worker threads is a race.
+        if mri_file_type and mri_file_type.startswith("w"):
+            template_space = True
         self.template_space = template_space
         self.smoothing = smoothing
         self.mri_file_type = mri_file_type
@@ -70,12 +76,10 @@ class VolumeDataset:
     def _paths(self, idx: int):
         row = self.lookup_df.iloc[idx]
         mri_path, tau_path, roi_path = row["MRI"], row["tau"], row["roi"]
-        # file-type override switches to template space for w* files
-        # (`VolumeDataset.py:111-119`)
+        # file-type path override (`VolumeDataset.py:111-119`); the w* ->
+        # template-space switch happens once in __init__ (thread safety)
         if self.mri_file_type:
             mri_path = os.path.join(os.path.dirname(mri_path), self.mri_file_type)
-            if self.mri_file_type.startswith("w"):
-                self.template_space = True
         if self.tau_file_type:
             tau_path = os.path.join(os.path.dirname(tau_path), self.tau_file_type)
         return mri_path, tau_path, roi_path

@@ -53,18 +53,23 @@ class GenerativeContrastiveLoss:
         # pred-space slot: final (anchor, pos, neg) embeddings
         final_reprs: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
         voxel_weights: Optional[jnp.ndarray] = None,
+        valid: Optional[jnp.ndarray] = None,
     ) -> LossOutputs:
+        """`valid` ([B] 0/1) excludes the loader's wrap-padded duplicate rows
+        from every term, so the loss (and its gradient) equals the reference's
+        true-partial-batch objective (`attn_unet_data_parallel.py:779`)."""
         cfg = self.config
         gen = roi_mse(
             pred, target, roi_compact, roi_weights,
             voxel_weights=voxel_weights, reduction=None,
         )  # per-sample [B], summed below (`criterions.py:560`)
-        total = cfg.gen_weight * jnp.sum(gen)
+        vsum = gen if valid is None else gen * valid.reshape(-1).astype(gen.dtype)
+        total = cfg.gen_weight * jnp.sum(vsum)
 
         if cfg.reg_weight != 0.0 and final_reprs is not None:
             a, p, n = final_reprs
             pred_space = cfg.reg_weight * triplet_loss(
-                a, p, n, margin=cfg.triplet_margin
+                a, p, n, margin=cfg.triplet_margin, valid=valid
             )
         else:
             pred_space = jnp.asarray(0.0, dtype=jnp.float32)
@@ -73,14 +78,15 @@ class GenerativeContrastiveLoss:
             if rnc_features is None or rnc_labels is None:
                 raise ValueError("rnc=True requires rnc_features and rnc_labels")
             tcds = cfg.ds_reg_weight * rnc_loss(
-                rnc_features, rnc_labels, temperature=cfg.rnc_temperature
+                rnc_features, rnc_labels, temperature=cfg.rnc_temperature,
+                valid=valid,
             )
         else:
             if anchor_projs is None:
                 raise ValueError("rnc=False requires per-level projections")
             tcds = cfg.ds_reg_weight * truncated_cds(
                 anchor_projs, pos_projs, neg_projs, cfg.cds_weights,
-                margin=cfg.triplet_margin,
+                margin=cfg.triplet_margin, valid=valid,
             )
 
         total = total + pred_space + tcds

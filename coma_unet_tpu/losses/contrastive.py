@@ -5,7 +5,7 @@ N-pair become closed-form broadcasted reductions.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +15,7 @@ def rnc_loss(
     features: jnp.ndarray,
     labels: jnp.ndarray,
     temperature: float = 2.0,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Rank-N-Contrast (Zha et al. 2023; `criterions.py:607-644`).
 
@@ -26,10 +27,14 @@ def rnc_loss(
         middle dim — the label is the FULL covariate vector (L=6), so the rank
         distance is the L1 distance over all covariates. We reproduce that
         contract; pass [N, 1] to rank on meta-tau alone.
+      valid: optional [N] 0/1 mask. Invalid rows (the loader's wrap-padded
+        duplicates) are excluded both as anchors and as ranking candidates,
+        so the result EXACTLY equals rnc_loss over the valid subset — the
+        reference ranks only the true (possibly partial) batch.
 
-    loss = -1/(n(n-1)) * sum_{i,k} [ logit(i,k)
+    loss = -1/(m(m-1)) * sum_{i,k} [ logit(i,k)
             - log sum_j 1[d_l(i,j) >= d_l(i,k)] exp(logit(i,j)) ]
-    with logit(i,j) = -||f_i - f_j|| / t, diagonal removed.
+    with logit(i,j) = -||f_i - f_j|| / t, diagonal removed, (i,k,j) valid.
     """
     if labels.ndim == 1:
         labels = labels[:, None]
@@ -40,6 +45,7 @@ def rnc_loss(
     label_diffs = jnp.sum(jnp.abs(l[:, None, :] - l[None, :, :]), axis=-1)  # [n,n]
     d = jnp.linalg.norm(f[:, None, :] - f[None, :, :] + 1e-12, axis=-1)
     logits = -d / temperature
+    # per-row stability shift; cancels exactly in logits - log(denom)
     logits = logits - jax.lax.stop_gradient(jnp.max(logits, axis=1, keepdims=True))
     exp_logits = jnp.exp(logits)
 
@@ -53,9 +59,20 @@ def rnc_loss(
 
     # neg_mask[i, k, j] = 1 if label_diff(i,j) >= label_diff(i,k)
     neg_mask = (ld_nd[:, None, :] >= ld_nd[:, :, None]).astype(jnp.float32)
-    denom = jnp.sum(neg_mask * exp_nd[:, None, :], axis=-1)  # [n, n-1]
-    pos_log_probs = logits_nd - jnp.log(denom)
-    return -jnp.sum(pos_log_probs) / (n * (n - 1))
+    if valid is None:
+        denom = jnp.sum(neg_mask * exp_nd[:, None, :], axis=-1)  # [n, n-1]
+        pos_log_probs = logits_nd - jnp.log(denom)
+        return -jnp.sum(pos_log_probs) / (n * (n - 1))
+    v = valid.reshape(-1).astype(jnp.float32)
+    v_nd = _drop_diag(jnp.broadcast_to(v[None, :], (n, n)))  # candidate valid
+    w = v[:, None] * v_nd                                    # (anchor, k) valid
+    denom = jnp.sum(neg_mask * (exp_nd * v_nd)[:, None, :], axis=-1)
+    # whenever w > 0 the j = k term is in denom (ld >= ld, k valid) so
+    # denom > 0; jnp.where keeps invalid pairs' grads clean (no nan * 0).
+    denom = jnp.where(w > 0, denom, 1.0)
+    pos_log_probs = (logits_nd - jnp.log(denom)) * w
+    m = jnp.sum(v)
+    return -jnp.sum(pos_log_probs) / jnp.maximum(m * (m - 1.0), 1.0)
 
 
 def triplet_loss(
@@ -63,13 +80,19 @@ def triplet_loss(
     positive: jnp.ndarray,
     negative: jnp.ndarray,
     margin: float = 1.0,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """torch `TripletMarginWithDistanceLoss` semantics (pairwise L2 distance,
-    mean reduction) — `criterions.py:298-301,320-322`."""
+    mean reduction) — `criterions.py:298-301,320-322`. `valid` restricts the
+    mean to the true (non-wrap-padded) samples."""
     eps = 1e-6
     d_ap = jnp.linalg.norm(anchor - positive + eps, axis=-1)
     d_an = jnp.linalg.norm(anchor - negative + eps, axis=-1)
-    return jnp.mean(jnp.maximum(d_ap - d_an + margin, 0.0))
+    hinge = jnp.maximum(d_ap - d_an + margin, 0.0)
+    if valid is None:
+        return jnp.mean(hinge)
+    v = valid.reshape(-1).astype(hinge.dtype)
+    return jnp.sum(hinge * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def truncated_cds(
@@ -78,12 +101,13 @@ def truncated_cds(
     neg_projs: Sequence[jnp.ndarray],
     weights: Sequence[float],
     margin: float = 1.0,
+    valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Truncated Contrastive Deep Supervision (`criterions.py:304-344`):
     sum_i w_i * triplet(anchor_i, pos_i, neg_i) over per-level projections."""
     total = jnp.asarray(0.0, dtype=jnp.float32)
     for w, a, p, ng in zip(weights, anchor_projs, pos_projs, neg_projs):
-        total = total + w * triplet_loss(a, p, ng, margin=margin)
+        total = total + w * triplet_loss(a, p, ng, margin=margin, valid=valid)
     return total
 
 

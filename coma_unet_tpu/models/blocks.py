@@ -197,6 +197,20 @@ def _on_tpu() -> bool:
         return False
 
 
+# The Pallas kernel families hard-code their padding (SAME for stride-1/
+# stride-2, the (1,2) transposed-SAME for t2); dispatch must verify the
+# caller actually asked for that padding or fall back to XLA.
+_SAME3 = ((1, 1), (1, 1), (1, 1))
+_T2PAD3 = ((1, 2), (1, 2), (1, 2))
+
+
+def _pad_eq(padding, expected) -> bool:
+    try:
+        return tuple(tuple(p) for p in padding) == expected
+    except TypeError:  # string paddings ("SAME"/"VALID") -> XLA fallback
+        return False
+
+
 def conv3d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -220,7 +234,8 @@ def conv3d(
         )
 
         k = kernel.shape[-1]
-        cubic = kernel.shape[-3:] == (k, k, k)
+        cubic = (kernel.shape[-3:] == (k, k, k)
+                 and _pad_eq(padding, same_padding((k, k, k))))
         cin = x.shape[1]
         wd = x.shape[-1]
         # W > 128 but not lane-aligned (e.g. template-space 216^3): zero-pad
@@ -317,6 +332,7 @@ def _conv3d_packed(
     if transposed and packed_in and not packed_out:
         # decoder upsample: packed 64^3 -> full-res 128^3
         if (tpu and "t2" not in disabled and cubic3
+                and _pad_eq(padding, _T2PAD3)
                 and lhs_dilation == (2, 2, 2)
                 and strides == (1, 1, 1) and x.shape[-1] == 128
                 and x.shape[-2] >= 8 and cin <= 64 and cout <= 32):
@@ -326,6 +342,7 @@ def _conv3d_packed(
     if not transposed and packed_out and not packed_in:
         # encoder downsample: full-res 128^3 -> packed 64^3
         if (tpu and "s2" not in disabled and cubic3
+                and _pad_eq(padding, _SAME3)
                 and strides == (2, 2, 2) and x.shape[-1] == 128
                 and x.shape[-3] % 4 == 0 and x.shape[-2] % 2 == 0
                 and x.shape[-2] >= 16 and cin <= 32 and cout <= 64):
@@ -333,6 +350,7 @@ def _conv3d_packed(
         return pack_w(conv3d(x, kernel, strides, padding, groups))
     if not transposed and packed_in and packed_out and strides == (1, 1, 1):
         if (tpu and "packed" not in disabled and cubic3
+                and _pad_eq(padding, _SAME3)
                 and x.shape[-1] == 128 and x.shape[-2] >= 8
                 and cin <= 128 and cout <= 128):
             return pallas_conv3d_packed(x, kernel)
@@ -358,6 +376,7 @@ def cond_conv3d(
     use_pallas: bool,
     packed_in: bool,
     packed_out: bool,
+    padding=None,
 ) -> Optional[jnp.ndarray]:
     """PER-SAMPLE-kernel conv (the CondConv expert mixture,
     `kern` [B, Cout, Cin, k, k, k]) through ONE batched pallas call.
@@ -389,24 +408,28 @@ def cond_conv3d(
         filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
     )
     if (transposed and packed_in and not packed_out and "t2" not in disabled
-            and cubic3 and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
+            and cubic3 and _pad_eq(padding, _T2PAD3)
+            and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
             and x.shape[-1] == 128 and x.shape[-2] >= 8
             and cin <= 64 and cout <= 32):
         return pallas_conv3d_t2_b(x, kern)
     if (not transposed and packed_out and not packed_in
-            and "s2" not in disabled and cubic3 and strides == (2, 2, 2)
+            and "s2" not in disabled and cubic3 and _pad_eq(padding, _SAME3)
+            and strides == (2, 2, 2)
             and x.shape[-1] == 128 and x.shape[-3] % 4 == 0
             and x.shape[-2] % 2 == 0 and x.shape[-2] >= 16
             and cin <= 32 and cout <= 64):
         return pallas_conv3d_s2_b(x, kern)
     if (not transposed and packed_in and packed_out
-            and "packed" not in disabled and cubic3 and strides == (1, 1, 1)
+            and "packed" not in disabled and cubic3
+            and _pad_eq(padding, _SAME3) and strides == (1, 1, 1)
             and x.shape[-1] == 128 and x.shape[-2] >= 8
             and cin <= 128 and cout <= 128):
         return pallas_conv3d_packed_b(x, kern)
     if (not transposed and not packed_in and not packed_out
             and strides == (1, 1, 1) and k in (1, 3)
-            and kern.shape[-3:] == (k, k, k)):
+            and kern.shape[-3:] == (k, k, k)
+            and _pad_eq(padding, same_padding((k, k, k)))):
         # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME;
         # k == 1 only — see conv3d)
         wd = x.shape[-1]
@@ -572,6 +595,7 @@ class CondConvolution(nn.Module):
             (1, 1, 1) if self.is_transposed else strides,
             strides if self.is_transposed else None,
             self.use_pallas, self.packed_in, self.packed_out,
+            padding=pad,
         )
         if y is not None:
             pass

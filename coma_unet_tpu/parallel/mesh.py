@@ -104,7 +104,11 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
     from coma_unet_tpu.train.step import train_model_variant
 
     model = train_model_variant(model)
-    from coma_unet_tpu.losses.contrastive import rnc_loss, truncated_cds
+    from coma_unet_tpu.losses.contrastive import (
+        rnc_loss,
+        triplet_loss,
+        truncated_cds,
+    )
     from coma_unet_tpu.losses.roi_losses import roi_mse
     from coma_unet_tpu.train.step import _apply, optax_global_norm
 
@@ -118,32 +122,52 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
     # gradient is counted exactly once and the summed gen term exactly once —
     # psum(local_obj) is then exactly the reference's total loss.
     def local_loss(params, batch_stats, batch, roi_weights, rng, voxel_weights):
+        gather = lambda t: jax.lax.all_gather(t, "data", axis=0, tiled=True)  # noqa: E731
+        valid = batch.get("valid_mask")
+        gvalid = gather(valid) if valid is not None else None
         outs, new_bs = _apply(model, params, batch_stats, batch, "", True, rng, True)
         gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"], roi_weights,
                       voxel_weights=voxel_weights, reduction=None)
-        obj = cfg.gen_weight * jnp.sum(gen)
+        vsum = gen if valid is None else gen * valid.reshape(-1).astype(gen.dtype)
+        obj = cfg.gen_weight * jnp.sum(vsum)
+        pred_space = jnp.asarray(0.0, jnp.float32)
         if cfg.rnc:
-            feats = jax.lax.all_gather(
-                outs.projections[-1], "data", axis=0, tiled=True
-            )
-            labels = jax.lax.all_gather(batch["covars"], "data", axis=0, tiled=True)
+            feats = gather(outs.projections[-1])
+            labels = gather(batch["covars"])
             tcds_full = cfg.ds_reg_weight * rnc_loss(
-                feats, labels, cfg.rnc_temperature
+                feats, labels, cfg.rnc_temperature, valid=gvalid
             )
         else:
             pos_outs, new_bs = _apply(model, params, new_bs, batch, "pos_", True, rng, True)
             neg_outs, new_bs = _apply(model, params, new_bs, batch, "neg_", True, rng, True)
-            local = truncated_cds(outs.projections, pos_outs.projections,
-                                  neg_outs.projections, cfg.cds_weights,
-                                  margin=cfg.triplet_margin)
-            # global mean over equal-size shards == mean of shard means; keep
-            # it collective-free in the grad path (see note above).
-            tcds_full = cfg.ds_reg_weight * local
+            # batch-coupled means (the per-level triplet means and the
+            # pred-space triplet) are computed on the GLOBAL batch by
+            # all-gathering the projections (tiny [B, latent] embeddings) —
+            # exact under wrap-pad masks with unequal per-shard valid counts;
+            # scaled 1/n_shards so psum(grads) counts the coupled term once
+            # (the all_gather transpose psums the replicated cotangents).
+            tcds_full = cfg.ds_reg_weight * truncated_cds(
+                [gather(p) for p in outs.projections],
+                [gather(p) for p in pos_outs.projections],
+                [gather(p) for p in neg_outs.projections],
+                cfg.cds_weights, margin=cfg.triplet_margin, valid=gvalid,
+            )
+            if cfg.reg_weight != 0.0:
+                # pred-space slot (`criterions.py:544-575`): same global
+                # treatment — restores sharded == single-device objective
+                # parity for reg_weight != 0.
+                a, p, n = (gather(outs.final_projection),
+                           gather(pos_outs.final_projection),
+                           gather(neg_outs.final_projection))
+                pred_space = cfg.reg_weight * triplet_loss(
+                    a, p, n, margin=cfg.triplet_margin, valid=gvalid
+                )
+                obj = obj + pred_space / n_shards
         obj = obj + tcds_full / n_shards
         aux = {
             "gen_loss": gen,
-            "tcds_loss": tcds_full if cfg.rnc else tcds_full / n_shards,
-            "pred_space_loss": jnp.asarray(0.0, jnp.float32),
+            "tcds_loss": tcds_full / n_shards,
+            "pred_space_loss": pred_space / n_shards,
             "batch_stats": new_bs,
         }
         return obj, aux
@@ -167,10 +191,10 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
         aux["gen_loss"] = jax.lax.all_gather(
             aux["gen_loss"], "data", axis=0, tiled=True
         )  # [B_total], replicated
-        if not cfg.rnc:
-            aux["tcds_loss"] = jax.lax.psum(
-                jax.lax.stop_gradient(aux["tcds_loss"]), "data"
-            )
+        # coupled terms are reported as value/n_shards per shard; psum
+        # restores the full (replicated) value.
+        for k in ("tcds_loss", "pred_space_loss"):
+            aux[k] = jax.lax.psum(jax.lax.stop_gradient(aux[k]), "data")
         aux["grad_norm"] = optax_global_norm(grads)
         if return_grads:
             aux["grads"] = grads  # psum'd (replicated) — test/debug only

@@ -121,7 +121,7 @@ bool load_nifti(const char* path, Volume& v) {
     default: return false;
   }
   // Single-file (.nii, "n+1") data must start past the header (spec: >= 352).
-  if (memcmp(h.magic, "n+1", 3) == 0 && !(h.vox_offset >= 348.f)) return false;
+  if (memcmp(h.magic, "n+1", 3) == 0 && !(h.vox_offset >= 352.f)) return false;
   if (h.vox_offset < 0.f) return false;
   size_t off = static_cast<size_t>(h.vox_offset);
   if (raw.size() < off || raw.size() - off < static_cast<size_t>(n) * elem_size)

@@ -217,6 +217,14 @@ def train(
         for batch_idx, batch in enumerate(train_loader):
             db = {k: v for k, v in batch.items()
                   if k not in ("sample_ids", "tau_paths", "valid")}
+            # wrap-padded duplicate rows must not contribute gradient: the
+            # step masks every loss term by this [B] 0/1 device mask (the
+            # reference trains on the true partial batch). Always present so
+            # the compiled step has ONE signature across full/partial batches.
+            db["valid_mask"] = np.asarray(
+                batch.get("valid", np.ones(len(batch["abeta"]), bool)),
+                np.float32,
+            )
             if put is not None:
                 db = put(db)  # no-op when the loader already sharded it
             rng, sub = jax.random.split(rng)

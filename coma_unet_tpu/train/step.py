@@ -118,6 +118,10 @@ def make_train_step(
     rnc = loss_config.rnc
 
     def loss_fn(params, batch_stats, batch, roi_weights, rng, voxel_weights):
+        # wrap-padded duplicate rows (loader `valid_mask`) are excluded from
+        # every loss term — the reference trains on the true partial batch
+        # (`attn_unet_data_parallel.py:779`).
+        valid = batch.get("valid_mask")
         outs, new_bs = _apply(
             model, params, batch_stats, batch, "", True, rng, True
         )
@@ -129,13 +133,15 @@ def make_train_step(
             gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"],
                           roi_weights, voxel_weights=voxel_weights,
                           reduction=None)
-            total = loss_config.gen_weight * jnp.sum(gen)
+            vsum = gen if valid is None else gen * valid.reshape(-1).astype(gen.dtype)
+            total = loss_config.gen_weight * jnp.sum(vsum)
             zero = jnp.asarray(0.0, jnp.float32)
             return total, {
                 "loss": total, "gen_loss": gen, "pred_space_loss": zero,
                 "tcds_loss": zero, "batch_stats": new_bs,
             }
-        kwargs: Dict[str, Any] = {"voxel_weights": voxel_weights}
+        kwargs: Dict[str, Any] = {"voxel_weights": voxel_weights,
+                                  "valid": valid}
         if rnc:
             # RnC pseudo-batch (`attn_unet_data_parallel.py:833-845`): features
             # are the final-level projections; labels the covariate vectors.

@@ -195,3 +195,96 @@ def test_cluster_npair_shapes():
     n = [jnp.asarray(rng.normal(size=(2, 7, 8)).astype(np.float32))]
     val = float(cluster_npair_loss(a, p, n))
     assert np.isfinite(val) and val > 0
+
+
+# ---------------------------------------------------------------------------
+# valid-mask semantics: the loader wrap-pads the last partial batch with
+# duplicate rows; masked losses must EXACTLY equal the loss over the true
+# (valid) subset — the reference trains on the true partial torch batch
+# (`attn_unet_data_parallel.py:779`).
+
+
+def test_rnc_loss_valid_mask_matches_subset():
+    rng = np.random.default_rng(11)
+    f = rng.normal(size=(6, 8)).astype(np.float32)
+    lab = rng.uniform(size=(6, 6)).astype(np.float32)
+    # padded rows duplicate rows 0/1 (the loader's wrap-pad pattern)
+    f[4], f[5] = f[0], f[1]
+    lab[4], lab[5] = lab[0], lab[1]
+    valid = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    got = float(rnc_loss(jnp.asarray(f), jnp.asarray(lab), valid=valid))
+    want = float(rnc_loss(jnp.asarray(f[:4]), jnp.asarray(lab[:4])))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_rnc_loss_valid_mask_grads_match_subset():
+    rng = np.random.default_rng(12)
+    f = rng.normal(size=(5, 8)).astype(np.float32)
+    lab = rng.uniform(size=(5, 1)).astype(np.float32)
+    f[4], lab[4] = f[0], lab[0]
+    valid = jnp.asarray([1, 1, 1, 1, 0], jnp.float32)
+    g_mask = jax.grad(lambda x: rnc_loss(x, jnp.asarray(lab), valid=valid))(
+        jnp.asarray(f)
+    )
+    g_sub = jax.grad(lambda x: rnc_loss(x, jnp.asarray(lab[:4])))(
+        jnp.asarray(f[:4])
+    )
+    np.testing.assert_allclose(np.asarray(g_mask[:4]), np.asarray(g_sub),
+                               rtol=1e-4, atol=1e-7)
+    # padded rows contribute zero gradient
+    np.testing.assert_allclose(np.asarray(g_mask[4]), 0.0, atol=1e-8)
+
+
+def test_triplet_loss_valid_mask_matches_subset():
+    rng = np.random.default_rng(13)
+    a, p, n = (rng.normal(size=(6, 8)).astype(np.float32) for _ in range(3))
+    valid = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    got = float(triplet_loss(jnp.asarray(a), jnp.asarray(p), jnp.asarray(n),
+                             valid=valid))
+    want = float(triplet_loss(jnp.asarray(a[:4]), jnp.asarray(p[:4]),
+                              jnp.asarray(n[:4])))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_composite_valid_mask_matches_subset():
+    """Full criterion (tCDS mode + live pred-space slot) on a wrap-padded
+    batch with `valid` == the criterion on the true partial batch."""
+    pred, gt, roi, weights, compact, roi_indices = _vol_fixture(seed=21, b=4)
+    rng = np.random.default_rng(22)
+    # wrap-pad: rows 2/3 duplicate rows 0/1
+    pad = lambda x: np.concatenate([x, x[:2]], axis=0)  # noqa: E731
+    levels = 3
+    projs = [
+        [rng.normal(size=(4, 16)).astype(np.float32) for _ in range(levels)]
+        for _ in range(3)
+    ]
+    finals = [rng.normal(size=(4, 16)).astype(np.float32) for _ in range(3)]
+    cfg = LossConfig(rnc=False, reg_weight=0.7, ds_reg_weight=1.0,
+                     cds_weights=(0.0, 1.0, 4.0))
+    criterion = GenerativeContrastiveLoss(cfg)
+
+    from coma_unet_tpu.ops.roi import compact_roi, make_roi_lut
+
+    lut = make_roi_lut(roi_indices)
+    compact_pad = compact_roi(jnp.asarray(pad(roi)), lut)
+    valid = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    got = criterion(
+        jnp.asarray(pad(pred)), jnp.asarray(pad(gt)), compact_pad,
+        jnp.asarray(weights),
+        anchor_projs=[jnp.asarray(pad(p)) for p in projs[0]],
+        pos_projs=[jnp.asarray(pad(p)) for p in projs[1]],
+        neg_projs=[jnp.asarray(pad(p)) for p in projs[2]],
+        final_reprs=tuple(jnp.asarray(pad(f)) for f in finals),
+        valid=valid,
+    )
+    want = criterion(
+        jnp.asarray(pred), jnp.asarray(gt), compact, jnp.asarray(weights),
+        anchor_projs=[jnp.asarray(p) for p in projs[0]],
+        pos_projs=[jnp.asarray(p) for p in projs[1]],
+        neg_projs=[jnp.asarray(p) for p in projs[2]],
+        final_reprs=tuple(jnp.asarray(f) for f in finals),
+    )
+    np.testing.assert_allclose(float(got.total), float(want.total), rtol=1e-5)
+    np.testing.assert_allclose(float(got.pred_space), float(want.pred_space),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(got.tcds), float(want.tcds), rtol=1e-5)

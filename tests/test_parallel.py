@@ -176,3 +176,45 @@ def test_sharded_eval_matches_single(tiny_model_config, rng):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(roi1["mae"]), np.asarray(roi2["mae"]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_dp_reg_weight_and_valid_mask_match_single_device(
+    tiny_model_config, rng
+):
+    """Sharded == single-device objective with BOTH previously-uncovered
+    couplings live: `reg_weight != 0` (the pred-space triplet,
+    `criterions.py:544-575`) and a wrap-pad `valid_mask` with UNEQUAL
+    per-shard valid counts (batch-coupled means can't be computed per-shard;
+    mesh.local_loss all-gathers the projections)."""
+    batch = make_batch(rng, b=8, with_triplet=True)
+    batch["valid_mask"] = jnp.asarray([1, 1, 1, 0, 1, 1, 1, 0], jnp.float32)
+    cfg = LossConfig(rnc=False, reg_weight=1.0, cds_weights=(0.0, 1.0, 4.0))
+    model = ContraAttnUNet(tiny_model_config)
+    tx = make_optimizer(1e-3)
+    state = create_train_state(
+        model, tx, rng,
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True},
+    )
+    roi_w = jnp.full((36,), 225.0)
+
+    single = make_train_step(model, cfg, donate=False, return_grads=True)
+    _, aux1 = single(state, batch, roi_w, rng)
+
+    mesh = make_mesh(data=8, spatial=1)
+    sharded = make_sharded_train_step(model, cfg, mesh, donate=False,
+                                      return_grads=True)
+    _, aux2 = sharded(replicate_state(state, mesh),
+                      shard_batch(batch, mesh), roi_w, rng)
+
+    for k in ("loss", "pred_space_loss", "tcds_loss"):
+        np.testing.assert_allclose(float(aux1[k]), float(aux2[k]), rtol=1e-4)
+    assert float(aux1["pred_space_loss"]) > 0.0
+    g1, g2 = jax.tree.leaves(aux1["grads"]), jax.tree.leaves(aux2["grads"])
+    assert len(g1) == len(g2) and len(g1) > 0
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * (1.0 + float(np.abs(b).max()))
+        )

@@ -88,3 +88,57 @@ def test_lr_injection(tiny_model_config, rng, tiny_batch):
     # the new LR
     assert abs(get_lr(state.opt_state) - 1e-3) < 1e-9
     assert abs(get_lr(new_opt_state) - 5e-4) < 1e-9
+
+
+def test_train_step_padded_batch_grads_match_partial(tiny_model_config, rng):
+    """Gradient of a wrap-padded batch (duplicate rows masked by `valid_mask`)
+    == gradient of the true partial batch — the reference trains on the true
+    partial torch batch (`attn_unet_data_parallel.py:779`); the loader's
+    padded duplicates must contribute exactly zero gradient."""
+    model = ContraAttnUNet(tiny_model_config)
+    true = make_batch(rng, b=4)
+    state = _make_state(model, true, rng)
+    padded = {
+        k: jnp.concatenate([v, v[:2]], axis=0) for k, v in true.items()
+    }
+    padded["valid_mask"] = jnp.asarray([1, 1, 1, 1, 0, 0], jnp.float32)
+    roi_w = jnp.full((36,), 225.0)
+    step = make_train_step(model, LossConfig(), donate=False,
+                           return_grads=True)
+    _, aux_true = step(state, true, roi_w, rng)
+    _, aux_pad = step(state, padded, roi_w, rng)
+    np.testing.assert_allclose(float(aux_pad["loss"]), float(aux_true["loss"]),
+                               rtol=1e-5)
+    g1 = jax.tree.leaves(aux_true["grads"])
+    g2 = jax.tree.leaves(aux_pad["grads"])
+    assert len(g1) == len(g2) and len(g1) > 0
+    # tolerances as in test_parallel's DP-grad check: leaves whose gradient
+    # is pure cancellation residue (~1e-5 from +/- summands over every voxel)
+    # legitimately differ in f32 between the b=4 and b=6 reduction orders;
+    # a sign/value error on any meaningful leaf still fails through rtol.
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * (1.0 + float(np.abs(a).max()))
+        )
+    # The STRICT masking check (no shape-change noise): replace the padded
+    # rows' content with garbage — masked rows' loss cotangents are exact
+    # zeros, so the gradient must not depend on their content at all.
+    garbage = dict(padded)
+    for k, v in padded.items():
+        if k == "valid_mask":
+            continue
+        noise = jax.random.normal(jax.random.PRNGKey(99), v[4:].shape,
+                                  dtype=v.dtype if jnp.issubdtype(
+                                      v.dtype, jnp.floating) else jnp.float32)
+        tail = (noise if jnp.issubdtype(v.dtype, jnp.floating)
+                else jnp.zeros_like(v[4:]))
+        garbage[k] = jnp.concatenate([v[:4], v[:2] * 0 + tail.astype(v.dtype)],
+                                     axis=0)
+    _, aux_garbage = step(state, garbage, roi_w, rng)
+    np.testing.assert_allclose(float(aux_garbage["loss"]),
+                               float(aux_pad["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(aux_pad["grads"]),
+                    jax.tree.leaves(aux_garbage["grads"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
