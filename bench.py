@@ -3,9 +3,17 @@ ContraAttnUNet (128^3, conditional + modulator), the BASELINE.md north-star
 metric (<2 s p50 target; the PyTorch reference publishes no numbers, so
 vs_baseline is measured against that 2 s target).
 
-Prints ONE JSON line:
+Prints ONE JSON line to stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 plus auxiliary metrics on stderr.
+
+Timeout-robust by construction (r2 lost its whole perf record to a driver
+timeout, rc=124, because the headline printed last): the headline JSON is
+emitted IMMEDIATELY after the p50 forward measurement; the cost-analysis and
+train-step sections run afterwards, each inside its own try/except and gated
+on the remaining wall-clock budget (`BENCH_BUDGET_S`, default 3300 s), and
+every partial result is flushed to stderr AND appended to BENCH_AUX.json as
+it lands.
 """
 
 from __future__ import annotations
@@ -19,6 +27,27 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+_START = time.time()
+_AUX_PATH = os.path.join(os.path.dirname(__file__), "BENCH_AUX.json")
+_AUX: dict = {}
+
+
+def _budget_left() -> float:
+    return float(os.environ.get("BENCH_BUDGET_S", "3300")) - (
+        time.time() - _START
+    )
+
+
+def _note(key: str, value, msg: str) -> None:
+    """Record a partial result: stderr line + incremental BENCH_AUX.json."""
+    print(msg, file=sys.stderr, flush=True)
+    _AUX[key] = value
+    try:
+        with open(_AUX_PATH, "w") as f:
+            json.dump(_AUX, f, indent=1)
+    except OSError:
+        pass
 
 
 def main() -> None:
@@ -41,7 +70,8 @@ def main() -> None:
 
     t0 = time.time()
     variables = init_on_cpu(model, batch)
-    print(f"init (cpu + transfer): {time.time()-t0:.1f}s", file=sys.stderr)
+    _note("init_s", round(time.time() - t0, 1),
+          f"init (cpu + transfer): {time.time()-t0:.1f}s")
 
     @jax.jit
     def forward(variables, mri, covars, roi_loc, roi_std, roi_compact):
@@ -59,7 +89,8 @@ def main() -> None:
     # N async dispatches, one scalar fetch at the end.
     t0 = time.time()
     float(jnp.sum(forward(*args)))
-    print(f"forward compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
+    _note("forward_compile_s", round(time.time() - t0, 1),
+          f"forward compile+run: {time.time()-t0:.1f}s")
 
     def timed_chain(n=10):
         t0 = time.time()
@@ -75,78 +106,85 @@ def main() -> None:
     per_call = float(np.percentile(lat, 50))
     p50_volume_ms = per_call / 2 * 1000.0
     vols_per_sec = 2.0 / per_call
-    print(
-        f"p50 batch-2 forward: {per_call*1000:.1f} ms; "
-        f"{vols_per_sec:.2f} volumes/s/chip", file=sys.stderr,
-    )
+    _note("forward_p50_b2_ms", round(per_call * 1000, 1),
+          f"p50 batch-2 forward: {per_call*1000:.1f} ms; "
+          f"{vols_per_sec:.2f} volumes/s/chip")
+
+    # Headline FIRST — everything after this line is auxiliary and may be
+    # killed by the driver's timeout without losing the round's perf record.
+    print(json.dumps({
+        "metric": "volume_synthesis_p50_latency",
+        "value": round(p50_volume_ms, 2),
+        "unit": "ms/volume",
+        "vs_baseline": round(2000.0 / p50_volume_ms, 3),
+    }), flush=True)
 
     # MFU vs the v5e bf16 peak (~197 TFLOP/s). Pallas custom calls are opaque
     # to XLA's cost model, so take the static FLOP count from the
     # mathematically-identical pure-XLA lowering (pallas_convs=False) —
     # compile-only, cached across runs.
     V5E_PEAK = 197e12
-    try:
-        model_x = ContraAttnUNet(
-            __import__("dataclasses").replace(cfg, pallas_convs=False)
-        )
-
-        @jax.jit
-        def forward_x(variables, mri, covars, roi_loc, roi_std, roi_compact):
-            return model_x.apply(
-                variables, mri, covars, roi_loc, roi_std, roi_compact,
-                train=False, with_projections=False,
-            ).out
-
-        ca = forward_x.lower(*args).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        fwd_flops = float(ca.get("flops", 0.0))
-        if fwd_flops > 0:
-            mfu = fwd_flops / per_call / V5E_PEAK
-            print(
-                f"forward: {fwd_flops/1e12:.2f} TFLOP/call -> "
-                f"{fwd_flops/per_call/1e12:.1f} TFLOP/s = {mfu*100:.1f}% MFU",
-                file=sys.stderr,
+    if _budget_left() > 120:
+        try:
+            model_x = ContraAttnUNet(
+                __import__("dataclasses").replace(cfg, pallas_convs=False)
             )
-    except Exception as e:  # noqa: BLE001
-        print(f"cost analysis unavailable: {e}", file=sys.stderr)
+
+            @jax.jit
+            def forward_x(variables, mri, covars, roi_loc, roi_std,
+                          roi_compact):
+                return model_x.apply(
+                    variables, mri, covars, roi_loc, roi_std, roi_compact,
+                    train=False, with_projections=False,
+                ).out
+
+            ca = forward_x.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fwd_flops = float(ca.get("flops", 0.0))
+            if fwd_flops > 0:
+                mfu = fwd_flops / per_call / V5E_PEAK
+                _note("forward_mfu_pct", round(mfu * 100, 2),
+                      f"forward: {fwd_flops/1e12:.2f} TFLOP/call -> "
+                      f"{fwd_flops/per_call/1e12:.1f} TFLOP/s = "
+                      f"{mfu*100:.1f}% MFU")
+        except Exception as e:  # noqa: BLE001
+            print(f"cost analysis unavailable: {e}", file=sys.stderr,
+                  flush=True)
+    else:
+        print("skipping cost analysis (budget)", file=sys.stderr, flush=True)
 
     # train step throughput (auxiliary)
-    try:
-        tx = make_optimizer(1e-3)
-        state = create_train_state(
-            model, tx, jax.random.PRNGKey(0),
-            (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
-             batch["roi_compact"]),
-            {"train": True},
-        )
-        step = make_train_step(model, LossConfig(), donate=False)
-        roi_w = jnp.full((36,), 225.0)
-        t0 = time.time()
-        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
-        _ = float(aux["loss"])
-        print(f"train step compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
-        n = 5
-        t0 = time.time()
-        for i in range(n):
-            state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
-        loss = float(aux["loss"])  # one fetch amortizes the relay floor
-        per_step = (time.time() - t0) / n
-        print(
-            f"train step (b=2): {per_step*1000:.1f} ms "
-            f"({2/per_step:.2f} samples/s/chip), loss={loss:.3f}",
-            file=sys.stderr,
-        )
-    except Exception as e:  # noqa: BLE001 — bench must still emit its line
-        print(f"train-step bench failed: {e}", file=sys.stderr)
-
-    # Headline: p50 full-volume synthesis latency vs the 2 s north-star.
-    print(json.dumps({
-        "metric": "volume_synthesis_p50_latency",
-        "value": round(p50_volume_ms, 2),
-        "unit": "ms/volume",
-        "vs_baseline": round(2000.0 / p50_volume_ms, 3),
-    }))
+    if _budget_left() > 180:
+        try:
+            tx = make_optimizer(1e-3)
+            state = create_train_state(
+                model, tx, jax.random.PRNGKey(0),
+                (batch["mri"], batch["covars"], batch["roi_loc"],
+                 batch["roi_std"], batch["roi_compact"]),
+                {"train": True}, variables=variables,
+            )
+            step = make_train_step(model, LossConfig(), donate=False)
+            roi_w = jnp.full((36,), 225.0)
+            t0 = time.time()
+            state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+            _ = float(aux["loss"])
+            _note("train_compile_s", round(time.time() - t0, 1),
+                  f"train step compile+run: {time.time()-t0:.1f}s")
+            n = 5
+            t0 = time.time()
+            for i in range(n):
+                state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
+            loss = float(aux["loss"])  # one fetch amortizes the relay floor
+            per_step = (time.time() - t0) / n
+            _note("train_step_b2_ms", round(per_step * 1000, 1),
+                  f"train step (b=2): {per_step*1000:.1f} ms "
+                  f"({2/per_step:.2f} samples/s/chip), loss={loss:.3f}")
+        except Exception as e:  # noqa: BLE001 — headline already emitted
+            print(f"train-step bench failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("skipping train-step bench (budget)", file=sys.stderr,
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -32,8 +32,13 @@ def create_train_state(
     rng: jax.Array,
     example_inputs: tuple,
     example_kwargs: Optional[dict] = None,
+    variables: Optional[dict] = None,
 ) -> TrainState:
-    variables = model.init(rng, *example_inputs, **(example_kwargs or {}))
+    """`variables` reuses an already-initialized pytree (e.g. the cheap
+    CPU-side init from `__graft_entry__.init_on_cpu`) — on the remote-TPU
+    backend a fresh `model.init` is a minutes-long compile."""
+    if variables is None:
+        variables = model.init(rng, *example_inputs, **(example_kwargs or {}))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
