@@ -211,6 +211,21 @@ def _pad_eq(padding, expected) -> bool:
         return False
 
 
+def _pallas_disabled() -> set:
+    """Trace-time kill switches (COMA_PALLAS_DISABLE="t2,s2,packed,s1,k1"):
+    each named family contributes NO Mosaic program anywhere in the traced
+    module — the remote compile helper OOMs past a cumulative Mosaic budget
+    (~35 large kernels/module, measured r2-r3), so train steps must budget
+    which families they spend it on. "s1" = the whole stride-1 conv3d
+    family; "k1" = only its k=1 (pointwise) instantiations, where XLA's
+    matmul lowering is closest to parity."""
+    import os
+
+    return set(
+        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
+    )
+
+
 def conv3d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -234,6 +249,13 @@ def conv3d(
         )
 
         k = kernel.shape[-1]
+        disabled = _pallas_disabled()
+        if "s1" in disabled or (k == 1 and "k1" in disabled):
+            return jax.lax.conv_general_dilated(
+                x, kernel, window_strides=strides, padding=padding,
+                lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
+                feature_group_count=groups,
+            )
         cubic = (kernel.shape[-3:] == (k, k, k)
                  and _pad_eq(padding, same_padding((k, k, k))))
         cin = x.shape[1]
@@ -316,18 +338,12 @@ def _conv3d_packed(
         unpack_w,
     )
 
-    import os
-
     k = kernel.shape[-1]
     cubic3 = kernel.shape[-3:] == (3, 3, 3)
     cin, cout = kernel.shape[1], kernel.shape[0]
     tpu = _on_tpu() and use_pallas and groups == 1
     transposed = lhs_dilation is not None
-    # debug escape hatch: COMA_PALLAS_DISABLE="t2,s2,packed" forces the XLA
-    # fallback for individual kernel families (compile-memory bisection)
-    disabled = set(
-        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
-    )
+    disabled = _pallas_disabled()
 
     if transposed and packed_in and not packed_out:
         # decoder upsample: packed 64^3 -> full-res 128^3
@@ -386,8 +402,6 @@ def cond_conv3d(
     (instead of B unrolled ones) keeps the Mosaic compile footprint flat in
     batch size and replaces XLA's ~40%-slower grouped lowering for DP
     batches."""
-    import os
-
     from coma_unet_tpu.ops.pallas.conv3d import (
         pallas_conv3d_b,
         pallas_conv3d_supported,
@@ -404,9 +418,7 @@ def cond_conv3d(
     cubic3 = kern.shape[-3:] == (3, 3, 3)
     k = kern.shape[-1]
     transposed = lhs_dilation is not None
-    disabled = set(
-        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
-    )
+    disabled = _pallas_disabled()
     if (transposed and packed_in and not packed_out and "t2" not in disabled
             and cubic3 and _pad_eq(padding, _T2PAD3)
             and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
@@ -427,6 +439,8 @@ def cond_conv3d(
             and cin <= 128 and cout <= 128):
         return pallas_conv3d_packed_b(x, kern)
     if (not transposed and not packed_in and not packed_out
+            and "s1" not in disabled
+            and not (k == 1 and "k1" in disabled)
             and strides == (1, 1, 1) and k in (1, 3)
             and kern.shape[-3:] == (k, k, k)
             and _pad_eq(padding, same_padding((k, k, k)))):

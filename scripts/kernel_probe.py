@@ -1,0 +1,138 @@
+"""Standalone per-kernel timings at production shapes (flagship 128^3, b=2):
+each Pallas family vs its exact XLA fallback, forward AND backward — the
+post-redesign evidence VERDICT r2 asked for (the t2 kernel shipped into the
+serving path without a standalone re-time after its H-phase redesign).
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/kernel_probe.py [fams]
+
+Timing protocol (CLAUDE.md): ~28 ms relay floor per dispatch+fetch and an
+early-returning block_until_ready -> amortize n chained dispatches, one
+scalar fetch. Results append to /tmp/kernel_probe.log.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coma_unet_tpu.models.blocks import same_padding, transposed_padding
+
+DT = jnp.bfloat16
+
+
+def timeit(tag, fn, *args, n=20, warm=2):
+    f = jax.jit(fn)
+    t0 = time.time()
+    float(jnp.sum(f(*args)))
+    compile_s = time.time() - t0
+    for _ in range(warm):
+        f(*args)
+    t0 = time.time()
+    out = None
+    for _ in range(n):
+        out = f(*args)
+    float(jnp.sum(out))
+    ms = (time.time() - t0) / n * 1000
+    print(f"{tag:46s} {ms:8.2f} ms   (compile {compile_s:5.1f}s)", flush=True)
+    return ms
+
+
+def grad_fn(op):
+    return lambda x, w: jax.grad(lambda x_, w_: jnp.sum(op(x_, w_).astype(jnp.float32)),
+                                 argnums=(0, 1))(x, w)
+
+
+def main(fams):
+    from coma_unet_tpu.ops.pallas.conv3d import pallas_conv3d
+    from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_packed
+    from coma_unet_tpu.ops.pallas.conv3d_strided import (
+        pack_w,
+        pallas_conv3d_s2,
+        pallas_conv3d_t2,
+        unpack_w,
+    )
+
+    rng = np.random.default_rng(0)
+
+    def mk(shape):
+        return jnp.asarray(rng.normal(size=shape), DT)
+
+    def xla_conv(x, w, strides=(1, 1, 1), pad=None, lhs_dil=None):
+        return jax.lax.conv_general_dilated(
+            x, w, strides, pad, lhs_dilation=lhs_dil,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+
+    if "t2" in fams:
+        # up0: packed 64ch 64^3 -> 32ch 128^3 (merge1 output -> up0)
+        xp = mk((2, 64, 32, 64, 128))
+        w = mk((32, 64, 3, 3, 3))  # t2 kernel convention [Cout, Cin, k,k,k]
+        tpad = transposed_padding((3, 3, 3), (2, 2, 2))
+        # XLA fallback: unpack -> lhs-dilated conv
+        timeit("t2 fwd pallas (packed in)", pallas_conv3d_t2, xp, w)
+        timeit("t2 fwd XLA (unpack + lhs-dilated)",
+               lambda xp_, w_: xla_conv(unpack_w(xp_), w_, (1, 1, 1), tpad,
+                                        (2, 2, 2)), xp, w)
+        timeit("t2 fwd+bwd pallas", grad_fn(pallas_conv3d_t2), xp, w)
+        timeit("t2 fwd+bwd XLA",
+               grad_fn(lambda xp_, w_: xla_conv(unpack_w(xp_), w_, (1, 1, 1),
+                                                tpad, (2, 2, 2))), xp, w)
+
+    if "s2" in fams:
+        x = mk((2, 32, 128, 128, 128))
+        w = mk((64, 32, 3, 3, 3))
+        timeit("s2 fwd pallas (emits packed)", pallas_conv3d_s2, x, w)
+        timeit("s2 fwd XLA (conv + pack)",
+               lambda x_, w_: pack_w(xla_conv(x_, w_, (2, 2, 2),
+                                              same_padding((3, 3, 3)))), x, w)
+        timeit("s2 fwd+bwd pallas", grad_fn(pallas_conv3d_s2), x, w)
+        timeit("s2 fwd+bwd XLA",
+               grad_fn(lambda x_, w_: pack_w(
+                   xla_conv(x_, w_, (2, 2, 2), same_padding((3, 3, 3))))),
+               x, w)
+
+    if "packed" in fams:
+        xp = mk((2, 64, 32, 64, 128))
+        w = mk((64, 64, 3, 3, 3))
+        timeit("packed s1 64ch fwd pallas", pallas_conv3d_packed, xp, w)
+        timeit("packed s1 64ch fwd XLA (unpack/conv/pack)",
+               lambda xp_, w_: pack_w(xla_conv(unpack_w(xp_), w_, (1, 1, 1),
+                                               same_padding((3, 3, 3)))),
+               xp, w)
+        timeit("packed s1 64ch fwd+bwd pallas",
+               grad_fn(pallas_conv3d_packed), xp, w)
+        timeit("packed s1 64ch fwd+bwd XLA",
+               grad_fn(lambda xp_, w_: pack_w(
+                   xla_conv(unpack_w(xp_), w_, (1, 1, 1),
+                            same_padding((3, 3, 3))))), xp, w)
+        xm = mk((2, 128, 32, 64, 128))
+        wm = mk((64, 128, 3, 3, 3))
+        timeit("packed s1 128->64 (merge1) fwd pallas",
+               pallas_conv3d_packed, xm, wm)
+        timeit("packed s1 128->64 fwd+bwd pallas",
+               grad_fn(pallas_conv3d_packed), xm, wm)
+
+    if "s1" in fams:
+        x = mk((2, 32, 128, 128, 128))
+        w = mk((32, 32, 3, 3, 3))
+        op = lambda x_, w_: pallas_conv3d(x_, w_, 3)  # noqa: E731
+        timeit("s1 32ch 128^3 fwd pallas", op, x, w)
+        timeit("s1 32ch 128^3 fwd XLA",
+               lambda x_, w_: xla_conv(x_, w_, (1, 1, 1),
+                                       same_padding((3, 3, 3))), x, w)
+        timeit("s1 32ch fwd+bwd pallas", grad_fn(op), x, w)
+        timeit("s1 32ch fwd+bwd XLA",
+               grad_fn(lambda x_, w_: xla_conv(
+                   x_, w_, (1, 1, 1), same_padding((3, 3, 3)))), x, w)
+
+
+if __name__ == "__main__":
+    fams = sys.argv[1].split(",") if len(sys.argv) > 1 else [
+        "t2", "s2", "packed", "s1",
+    ]
+    print("families:", fams, "| devices:", jax.devices(), flush=True)
+    main(fams)

@@ -1,0 +1,110 @@
+"""Compile + time the flagship train step on the real chip under a given
+kernel-family configuration — the compile-budget bisection harness for
+getting the packed Pallas family into training (the remote compile helper
+OOMs past ~a module budget of large Mosaic kernels; measured r2: 53 calls
+compile, 70 SIGKILL).
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache \
+    COMA_TRAIN_PACKED=1 COMA_PALLAS_DISABLE=k1 \
+    python scripts/train_step_probe.py [n_steps]
+
+Flagship params are initialized once on CPU and cached in
+.jax_cache/flagship_vars.msgpack (~50 MB) so repeated probes skip the
+~5-8 min CPU init.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cached_flagship_variables(model, batch):
+    from flax import serialization
+
+    from __graft_entry__ import init_on_cpu
+
+    path = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
+                        "flagship_vars.msgpack")
+    if os.path.exists(path):
+        t0 = time.time()
+        target = jax.eval_shape(
+            lambda: model.init(
+                jax.random.PRNGKey(0), batch["mri"], batch["covars"],
+                batch["roi_loc"], batch["roi_std"], batch["roi_compact"],
+                train=False,
+            )
+        )
+        zeros = jax.tree.map(
+            lambda a: np.zeros(a.shape, a.dtype), target
+        )
+        with open(path, "rb") as f:
+            variables = serialization.from_bytes(zeros, f.read())
+        variables = jax.device_put(variables, jax.devices()[0])
+        print(f"params restored from cache ({time.time()-t0:.1f}s)",
+              flush=True)
+        return variables
+    t0 = time.time()
+    variables = init_on_cpu(model, batch)
+    print(f"params initialized ({time.time()-t0:.1f}s)", flush=True)
+    host = jax.tree.map(np.asarray, variables)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host))
+    return variables
+
+
+def main():
+    from __graft_entry__ import _make_batch
+    from coma_unet_tpu.config import LossConfig, ModelConfig
+    from coma_unet_tpu.models import ContraAttnUNet
+    from coma_unet_tpu.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    print("devices:", jax.devices(),
+          "| COMA_TRAIN_PACKED=", os.environ.get("COMA_TRAIN_PACKED"),
+          "| COMA_PALLAS_DISABLE=", os.environ.get("COMA_PALLAS_DISABLE"),
+          flush=True)
+    cfg = ModelConfig()
+    model = ContraAttnUNet(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, b=2, s=128)
+    variables = cached_flagship_variables(model, batch)
+    state = create_train_state(
+        model, make_optimizer(1e-3), jax.random.PRNGKey(0),
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True}, variables=variables,
+    )
+    step = make_train_step(model, LossConfig(), donate=False)
+    roi_w = jnp.full((36,), 225.0)
+
+    t0 = time.time()
+    state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+    loss0 = float(aux["loss"])
+    print(f"train step compile+run: {time.time()-t0:.1f}s loss={loss0:.4f}",
+          flush=True)
+
+    t0 = time.time()
+    for i in range(n):
+        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
+    loss = float(aux["loss"])
+    per = (time.time() - t0) / n
+    print(f"train step (b=2): {per*1000:.1f} ms ({2/per:.2f} samples/s), "
+          f"loss={loss:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
