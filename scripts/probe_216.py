@@ -1,0 +1,118 @@
+"""PROBE_216: template-space direct 216^3 on the real chip (VERDICT r2 #4).
+
+Runs the flagship at the template geometry (216^3, prompt 216^3, the
+reference's `w*` file mode — `VolumeDataset.py:121-126`, `validation.py:66-68`)
+and records, for forward and one train step:
+  * static HBM footprint (XLA memory_analysis: args/outputs/temps/peak),
+  * compile time and amortized latency,
+  * whether remat suffices for the backward at this geometry.
+
+    JAX_COMPILATION_CACHE_DIR=.jax_cache python scripts/probe_216.py [b=1]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _make_batch, init_on_cpu
+from coma_unet_tpu.config import LossConfig, ModelConfig
+from coma_unet_tpu.models import ContraAttnUNet
+from coma_unet_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+S = 216
+
+
+def mem_report(tag, compiled):
+    try:
+        m = compiled.memory_analysis()
+        gb = 1024 ** 3
+        print(f"{tag} memory: args {m.argument_size_in_bytes/gb:.2f} GB, "
+              f"out {m.output_size_in_bytes/gb:.2f} GB, "
+              f"temps {m.temp_size_in_bytes/gb:.2f} GB, "
+              f"gen {m.generated_code_size_in_bytes/1e6:.0f} MB",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"{tag} memory analysis unavailable: {e}", flush=True)
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    print("devices:", jax.devices(), "batch:", b, flush=True)
+    cfg = ModelConfig(prompt_shape=(S, S, S))
+    model = ContraAttnUNet(cfg)
+    rng = np.random.default_rng(0)
+    batch = _make_batch(rng, b=b, s=S)
+    t0 = time.time()
+    variables = init_on_cpu(model, batch)
+    print(f"init: {time.time()-t0:.0f}s", flush=True)
+
+    @jax.jit
+    def forward(v, m, c, l, s_, r):
+        return model.apply(v, m, c, l, s_, r, train=False,
+                           with_projections=False).out
+
+    args = (variables, batch["mri"], batch["covars"], batch["roi_loc"],
+            batch["roi_std"], batch["roi_compact"])
+    t0 = time.time()
+    compiled = forward.lower(*args).compile()
+    print(f"forward compile: {time.time()-t0:.0f}s", flush=True)
+    mem_report("forward", compiled)
+    t0 = time.time()
+    float(jnp.sum(forward(*args)))
+    print(f"forward first run: {time.time()-t0:.1f}s", flush=True)
+    n = 6
+    t0 = time.time()
+    out = None
+    for _ in range(n):
+        out = forward(*args)
+    float(jnp.sum(out))
+    ms = (time.time() - t0) / n * 1000
+    print(f"forward (b={b}) 216^3: {ms:.1f} ms ({ms/b:.1f} ms/volume)",
+          flush=True)
+
+    # train step (template-space roi_weight=1.0, `validation.py:154`)
+    state = create_train_state(
+        model, make_optimizer(1e-3), jax.random.PRNGKey(0),
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True}, variables=variables,
+    )
+    step = make_train_step(model, LossConfig(roi_weight=1.0), donate=False)
+    roi_w = jnp.full((36,), 1.0)
+    t0 = time.time()
+    lowered = step.lower(state, batch, roi_w, jax.random.PRNGKey(1))
+    compiled_step = lowered.compile()
+    print(f"train step compile: {time.time()-t0:.0f}s", flush=True)
+    mem_report("train step", compiled_step)
+    t0 = time.time()
+    state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+    loss = float(aux["loss"])
+    print(f"train step first run: {time.time()-t0:.1f}s loss={loss:.4f}",
+          flush=True)
+    n = 4
+    t0 = time.time()
+    for i in range(n):
+        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
+    loss = float(aux["loss"])
+    per = (time.time() - t0) / n
+    print(f"train step (b={b}) 216^3: {per*1000:.1f} ms loss={loss:.4f}",
+          flush=True)
+    print("PROBE_216 OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
