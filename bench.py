@@ -164,7 +164,23 @@ def main() -> None:
                  batch["roi_std"], batch["roi_compact"]),
                 {"train": True}, variables=variables,
             )
-            step = make_train_step(model, LossConfig(), donate=False)
+            from coma_unet_tpu.train.step import (
+                make_split_train_step,
+                split_step_supported,
+            )
+
+            lcfg = LossConfig()
+            if split_step_supported(model, lcfg):
+                # segment-compiled: the full packed Pallas family in training
+                # (the monolithic fwd+bwd module overruns the remote compile
+                # helper's Mosaic budget). COMA_TRAIN_SPLIT=0 reverts.
+                step = make_split_train_step(model, lcfg, donate=False)
+                _note("train_step_kind", "split",
+                      "train step: segment-compiled (packed family on)")
+            else:
+                step = make_train_step(model, lcfg, donate=False)
+                _note("train_step_kind", "monolithic",
+                      "train step: monolithic")
             roi_w = jnp.full((36,), 225.0)
             t0 = time.time()
             state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))

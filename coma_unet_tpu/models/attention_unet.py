@@ -45,7 +45,22 @@ class UNetFeatures:
 
 
 class AttentionUNet(nn.Module):
-    """The encoder-decoder backbone (reduce_channels included)."""
+    """The encoder-decoder backbone (reduce_channels included).
+
+    `stage` splits the forward at the encoder/decoder boundary so the train
+    step can compile the two halves as SEPARATE XLA programs (the remote TPU
+    compile helper OOMs past a cumulative Mosaic-kernel budget per module —
+    see `train.step.make_split_train_step`):
+      * "full"    — the whole network (default; init always uses this).
+      * "encoder" — head + down blocks only; returns the encoder feature
+        tuple (all in the standard unpacked layout).
+      * "decoder" — consumes `encoder_feats` (the "encoder" stage's output)
+        and runs gates/up/merge/reduce. The packed-64^3 skip is recomputed
+        via `pack_w` (a pure layout transform, exact inverse of `unpack_w`).
+    Module names are identical across stages, so one param pytree serves all
+    three; gradients w.r.t. encoder params flow only through
+    `encoder_feats`, which is exactly the cut the split train step needs.
+    """
 
     config: ModelConfig
 
@@ -55,7 +70,13 @@ class AttentionUNet(nn.Module):
         x: jnp.ndarray,
         covariate: Optional[jnp.ndarray] = None,
         train: bool = True,
+        stage: str = "full",
+        encoder_feats: Optional[Tuple[jnp.ndarray, ...]] = None,
     ) -> UNetFeatures:
+        if stage not in ("full", "encoder", "decoder"):
+            raise ValueError(f"unknown stage {stage!r}")
+        if stage == "decoder" and encoder_feats is None:
+            raise ValueError("stage='decoder' requires encoder_feats")
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
@@ -103,38 +124,48 @@ class AttentionUNet(nn.Module):
         # and the up0 transposed conv CONSUMES packed — zero pack/unpack
         # transposes inside the level. External features (encoder/decoder/psi
         # lists) are always unpacked; XLA drops the conversions when unused.
+        # The predicate is evaluated on level-0 spatial dims so the "decoder"
+        # stage (which never sees x) resolves it identically.
+        lvl0 = x if stage != "decoder" else encoder_feats[0]
         packed_lvl = (
             cfg.pallas_convs and cfg.packed_level and depth >= 3
             and _triple(cfg.kernel_size) == (3, 3, 3)
             and _triple(cfg.up_kernel_size) == (3, 3, 3)
-            and strides[0] == 2 and x.shape[-1] == 128
-            and x.shape[-3] % 4 == 0 and x.shape[-2] % 2 == 0
+            and strides[0] == 2 and lvl0.shape[-1] == 128
+            and lvl0.shape[-3] % 4 == 0 and lvl0.shape[-2] % 2 == 0
             and channels[0] <= 32 and channels[1] <= 64
         )
 
-        # ---- encoder ----
-        # head: ConvBlock(in -> channels[0], stride 1)  (ref :289-294)
-        h = Block(out_channels=channels[0], strides=1, name="head",
-                  **block_args)(x, cov_block, train)
-        encoder: List[jnp.ndarray] = [h]
-        skip1_packed = None
         # The packed level runs WITHOUT remat: its activations are 8x smaller
         # than level 0's (so storing them is cheap), and avoiding the
         # backward recompute halves both the step's Pallas work and the
         # number of large Mosaic kernels per compiled module (the remote
         # compile helper OOMs past a cumulative kernel budget).
         pk_args = dict(block_args, remat=False)
-        for i in range(depth - 1):
-            pk = packed_lvl and i == 0
-            h = (Block if not pk else ConvBlock)(
-                out_channels=channels[i + 1], strides=strides[i],
-                name=f"down{i}", packed_out=pk,
-                **(block_args if not pk else pk_args),
-            )(h, cov_block, train)
-            if pk:
-                skip1_packed = h
-                h = unpack_w(h)
-            encoder.append(h)
+
+        if stage == "decoder":
+            encoder = list(encoder_feats)
+            skip1_packed = pack_w(encoder[1]) if packed_lvl else None
+        else:
+            # ---- encoder ----
+            # head: ConvBlock(in -> channels[0], stride 1)  (ref :289-294)
+            h = Block(out_channels=channels[0], strides=1, name="head",
+                      **block_args)(x, cov_block, train)
+            encoder = [h]
+            skip1_packed = None
+            for i in range(depth - 1):
+                pk = packed_lvl and i == 0
+                h = (Block if not pk else ConvBlock)(
+                    out_channels=channels[i + 1], strides=strides[i],
+                    name=f"down{i}", packed_out=pk,
+                    **(block_args if not pk else pk_args),
+                )(h, cov_block, train)
+                if pk:
+                    skip1_packed = h
+                    h = unpack_w(h)
+                encoder.append(h)
+            if stage == "encoder":
+                return tuple(encoder)
 
         # ---- decoder (bottom-up) ----
         attention_maps: List[Any] = [None] * (depth - 1)

@@ -68,13 +68,25 @@ class ContraAttnUNet(nn.Module):
         roi_compact: Optional[jnp.ndarray] = None,
         train: bool = True,
         with_projections: bool = True,
+        stage: str = "full",
+        encoder_feats: Optional[Tuple[jnp.ndarray, ...]] = None,
     ) -> ContraOutputs:
+        """`stage` mirrors `AttentionUNet.__call__`: "encoder" returns the
+        backbone's encoder feature tuple; "decoder" consumes it and runs
+        gates/decoder/modulator/projection heads. The split train step
+        (`train.step.make_split_train_step`) compiles the two stages as
+        separate XLA programs; everything else uses "full"."""
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         pdtype = jnp.dtype(cfg.param_dtype)
 
+        if stage == "encoder":
+            return AttentionUNet(cfg, name="unet")(
+                x, covariate, train=train, stage="encoder"
+            )
         feats: UNetFeatures = AttentionUNet(cfg, name="unet")(
-            x, covariate, train=train
+            x, covariate, train=train, stage=stage,
+            encoder_feats=encoder_feats,
         )
         out = feats.out
 

@@ -63,12 +63,17 @@ def _shift_hw(x: jnp.ndarray, dh: int, dw: int) -> jnp.ndarray:
     return x
 
 
-def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
+def _conv_kernel(*refs, k: int, dsize: int):
     """The kd-slabs are CONCATENATED along channels so each (kh, kw) tap is
     one dot with contraction dim k*Cin — 3x the MXU utilization of per-kd
-    dots for the model's 16-32 channel convs."""
+    dots for the model's 16-32 channel convs.
+
+    k == 3 refs: (xm, x0, xp, w, o); k == 1 refs: (x0, w, o) — pointwise
+    convs fetch ONE slab per grid step, not a dead 3-slab halo (3x HBM
+    traffic + VMEM on every k=1 gate/projection conv otherwise)."""
     d = pl.program_id(1)
     if k == 3:
+        xm_ref, x0_ref, xp_ref, w_ref, o_ref = refs
         slabs = []
         for kd, slab_ref in enumerate((xm_ref, x0_ref, xp_ref)):
             slab = slab_ref[...]  # [Cin, H, W], stays bf16 until the dot
@@ -80,6 +85,7 @@ def _conv_kernel(xm_ref, x0_ref, xp_ref, w_ref, o_ref, *, k: int, dsize: int):
             slabs.append(slab)
         cat = jnp.concatenate(slabs, axis=0)  # [3*Cin, H, W]
     else:
+        x0_ref, w_ref, o_ref = refs
         cat = x0_ref[...]
     acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, H, W]
     taps = range(-1, 2) if k == 3 else (0,)
@@ -129,14 +135,21 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
 
         return f
 
-    # None block dims are squeezed out in-kernel (refs are [Cin, H, W])
+    # None block dims are squeezed out in-kernel (refs are [Cin, H, W]).
+    # k == 1 fetches ONE slab per grid step (no D halo).
     spec = lambda off: pl.BlockSpec(  # noqa: E731
         (None, cin, None, h, wd), idx(off), memory_space=pltpu.VMEM
     )
+    if k == 3:
+        in_specs = [spec(-1), spec(0), spec(1), w_spec]
+        operands = (x, x, x, w_taps)
+    else:
+        in_specs = [spec(0), w_spec]
+        operands = (x, w_taps)
     out = pl.pallas_call(
         partial(_conv_kernel, k=k, dsize=dsz),
         grid=grid,
-        in_specs=[spec(-1), spec(0), spec(1), w_spec],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (None, cout, None, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
             memory_space=pltpu.VMEM,
@@ -144,7 +157,7 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
         out_shape=jax.ShapeDtypeStruct((b, cout, dsz, h, wd), x.dtype),
         compiler_params=_CPARAMS,
         interpret=interpret,
-    )(x, x, x, w_taps)
+    )(*operands)
     return out
 
 
@@ -167,8 +180,9 @@ def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,
         return False
     if c > 32 or b * d <= 4:  # grid too small / channels big enough for XLA
         return False
-    # VMEM: 3 slabs + accum must fit comfortably
-    vmem = (3 * c * h * w * 2) + (h * w * 4 * 32)
+    # VMEM: input slabs + accum must fit comfortably. k=1 fetches a single
+    # slab per grid step (no D halo) — see `_conv_kernel`.
+    vmem = ((3 if k == 3 else 1) * c * h * w * 2) + (h * w * 4 * 32)
     return vmem < 12 * 1024 * 1024
 
 
@@ -190,14 +204,20 @@ def _xla_conv(x, w, k):
     )
 
 
-def _dw_kernel(xm_ref, x0_ref, xp_ref, g_ref, o_ref, *, k: int, dsize: int,
-               batched: bool = False):
+def _dw_kernel(*refs, k: int, dsize: int, batched: bool = False):
     """Accumulate dw[tap, Cout, Cin] across the whole (B, D) grid — the
     output block has a constant index map so it stays resident in VMEM.
     With `batched`, the output carries a leading B dim (per-sample kernels)
     and each batch item re-initializes its own block at d == 0.
 
+    k == 3 refs: (xm, x0, xp, g, o); k == 1 refs: (x0, g, o) — same
+    single-slab fetch as `_conv_kernel` (no dead D halo for pointwise).
+
     dw[tap][o, c] = sum_{pixels} g[o, p] * shift_tap(x)[c, p]."""
+    if k == 3:
+        xm_ref, x0_ref, xp_ref, g_ref, o_ref = refs
+    else:
+        x0_ref, g_ref, o_ref = refs
     b = pl.program_id(0)
     d = pl.program_id(1)
 
@@ -257,20 +277,24 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
                                 lambda bi, di: (0, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32)
+    g_spec = pl.BlockSpec((None, cout, None, h, wd),
+                          lambda bi, di: (bi, 0, di, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if k == 3:
+        in_specs = [spec(-1), spec(0), spec(1), g_spec]
+        operands = (x, x, x, g)
+    else:
+        in_specs = [spec(0), g_spec]
+        operands = (x, g)
     dw_taps = pl.pallas_call(
         partial(_dw_kernel, k=k, dsize=dsz, batched=batched),
         grid=(b, dsz),
-        in_specs=[
-            spec(-1), spec(0), spec(1),
-            pl.BlockSpec((None, cout, None, h, wd),
-                         lambda bi, di: (bi, 0, di, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=out_shape,
         compiler_params=_CPARAMS,
         interpret=interpret,
-    )(x, x, x, g)
+    )(*operands)
     # [(B,) k^3, Cout, Cin] -> [(B,) Cout, Cin, k, k, k]
     if batched:
         return jnp.transpose(dw_taps, (0, 2, 3, 1)).reshape(

@@ -133,8 +133,8 @@ def _s2_kernel(x0_ref, x1_ref, x2_ref, x3_ref, x4_ref, w_ref, sel_ref,
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
-            interpret: bool = False) -> jnp.ndarray:
+def _s2_fwd_v1(x: jnp.ndarray, w: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
     """k=3 stride-2 SAME conv; returns PACKED output
     [B, Cout, D/4, H/2, W]."""
     b, cin, dsz, h, wd = x.shape
@@ -189,6 +189,138 @@ def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
         compiler_params=_CPARAMS,
         interpret=interpret,
     )(x, x, x, x, x, w_taps, sel)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 forward, PHASE-SPLIT (v2): the v1 kernel computes every tap at
+# full H x W resolution and decimates afterwards — 4x redundant MXU work and
+# shift bytes. v2 splits the INPUT by H/W parity in XLA (cheap strided
+# slices, fused into the producer) into two half-height tensors whose lanes
+# hold [even-w pixels | odd-w pixels]; each of the 9 (t_h, t_w) taps then
+# picks the right parity piece per lane half of the PACKED output pair
+# (d' = 2p from D-slices 4p+t_d-1, d' = 2p+1 from 4p+t_d+1), so every dot is
+# quarter-area at FULL 128-lane width and the packed output slab assembles
+# directly — no H reshape-split, no W selection matmul, no decimation at
+# all. Total MXU work == the conv's minimal FLOPs.
+# ---------------------------------------------------------------------------
+
+
+def _phase_split(x: jnp.ndarray):
+    """[B, C, D, H, W] -> (P0, P1), each [B, C, D, H/2, W]:
+    P[hp][..., h', :] = row 2h'+hp of x with W-parity grouped on lanes —
+    lanes [0, W/2) = even-w pixels, lanes [W/2, W) = odd-w pixels."""
+    return tuple(
+        jnp.concatenate(
+            [x[:, :, :, hp::2, 0::2], x[:, :, :, hp::2, 1::2]], axis=-1
+        )
+        for hp in (0, 1)
+    )
+
+
+def _w_piece(slab: jnp.ndarray, tw: int) -> jnp.ndarray:
+    """Tap t_w's W-parity half of a phase-split slab [C, H2, W]: returns
+    [C, H2, W/2] holding in[2w' + tw - 1] at half-lane w'. Static contiguous
+    lane slices only (Mosaic-safe at bf16)."""
+    w2 = slab.shape[-1] // 2
+    if tw == 1:  # in[2w']: even pixels
+        return slab[..., :w2]
+    if tw == 2:  # in[2w'+1]: odd pixels
+        return slab[..., w2:]
+    # tw == 0: in[2w'-1] = odd pixel (w'-1); zero at w' == 0 (SAME pad)
+    return jnp.concatenate(
+        [jnp.zeros_like(slab[..., :1]), slab[..., w2:-1]], axis=-1
+    )
+
+
+def _s2_kernel_v2(*refs):
+    """Grid (B, P). refs: P0 at D-offsets (-1..3), P1 at (-1..3), w, out.
+    Output slab p = packed pair (2p, 2p+1): lane half 0 needs input
+    D-slices 4p+t_d-1 (slots 0..2), half 1 needs 4p+t_d+1 (slots 2..4)."""
+    (p0m, p00, p01, p02, p03, p1m, p10, p11, p12, p13, w_ref,
+     o_ref) = refs
+    p = pl.program_id(1)
+    hp_slots = ((p0m, p00, p01, p02, p03), (p1m, p10, p11, p12, p13))
+    acc = None
+    for th in (0, 1, 2):
+        slots = hp_slots[0 if th == 1 else 1]
+        for tw in (0, 1, 2):
+            parts = []
+            for td in (0, 1, 2):
+                a = _w_piece(slots[td][...], tw)  # d' = 2p
+                if td == 0:  # D-slice 4p-1 off the volume at p == 0
+                    a = jnp.where(p > 0, a, 0.0)
+                bb = _w_piece(slots[td + 2][...], tw)  # d' = 2p+1
+                parts.append(jnp.concatenate([a, bb], axis=-1))
+            cat = jnp.concatenate(parts, axis=0)  # [3*Cin, H2, W]
+            if th == 0:  # in[2h'-1] = odd row (h'-1); zero row at h' == 0
+                cat = _shift_hw(cat, -1, 0)
+            prec = (jax.lax.Precision.HIGHEST
+                    if cat.dtype == jnp.float32 else None)
+            d = jax.lax.dot_general(
+                w_ref[th * 3 + tw].astype(cat.dtype), cat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # [Cout, H2, W]
+            acc = d if acc is None else acc + d
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _phase_specs(cin: int, h2: int, wd: int, dsz: int):
+    """The 10 phase-slab BlockSpecs shared by the v2 fwd and dw kernels:
+    P[hp] fetched at D-offsets 4p + (-1..3), clipped at the volume edge."""
+
+    def idx(off):
+        def f(bi, pi):
+            return (bi, 0, jnp.clip(4 * pi + off, 0, dsz - 1), 0, 0)
+
+        return f
+
+    return [
+        pl.BlockSpec((None, cin, None, h2, wd), idx(off),
+                     memory_space=pltpu.VMEM)
+        for _hp in (0, 1) for off in (-1, 0, 1, 2, 3)
+    ]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _s2_fwd_v2(x: jnp.ndarray, w: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    """Phase-split k=3 stride-2 SAME conv; PACKED output
+    [B, Cout, D/4, H/2, W] (same contract as `_s2_fwd_v1`)."""
+    b, cin, dsz, h, wd = x.shape
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
+    assert dsz % 4 == 0 and h % 2 == 0 and wd % 2 == 0
+    if batched:
+        w_taps = jnp.transpose(w, (0, 4, 5, 1, 3, 2)).reshape(
+            b, 9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, 9, cout, 3 * cin),
+                              lambda bi, pi: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+            9, cout, 3 * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((9, cout, 3 * cin),
+                              lambda bi, pi: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    p0, p1 = _phase_split(x)
+    p_count = dsz // 4
+    return pl.pallas_call(
+        _s2_kernel_v2,
+        grid=(b, p_count),
+        in_specs=_phase_specs(cin, h // 2, wd, dsz) + [w_spec],
+        out_specs=pl.BlockSpec(
+            (None, cout, None, h // 2, wd), lambda bi, pi: (bi, 0, pi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cout, p_count, h // 2, wd), x.dtype
+        ),
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(*([p0] * 5 + [p1] * 5 + [w_taps]))
 
 
 # ---------------------------------------------------------------------------
@@ -431,8 +563,8 @@ def _dw_dil_kernel(x0_ref, x1_ref, x2_ref, g_ref, s0_ref, s1_ref, o_ref, *,
 
 
 @partial(jax.jit, static_argnames=("batched", "interpret"))
-def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
-            interpret: bool = False) -> jnp.ndarray:
+def _dw_dil_v1(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
+               interpret: bool = False) -> jnp.ndarray:
     """Returns dw [27, C_packed, C_full], or per-sample
     [B, 27, C_packed, C_full] when `batched` (see block comment above)."""
     b, cf, dsz, h, wd = full.shape
@@ -480,6 +612,115 @@ def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
     )(full, full, full, packed, s0, s1)
 
 
+
+
+# ---------------------------------------------------------------------------
+# weight-gradient, PHASE-SPLIT (v2): v1 dilates the packed tensor with zeros
+# to full resolution (3/4-zero operands) and correlates 27 taps at full
+# area. v2 phase-splits the FULL-resolution tensor instead (same `_phase_split`
+# prologue and slab specs as the v2 forward) and contracts the packed slab
+# [Cp, H2, W] directly against quarter-area phase operands — no dilation
+# matmuls, no scatter matrices, minimal-FLOP dots, and half the grid steps
+# (both lane halves of a packed slab contract in one dot).
+# ---------------------------------------------------------------------------
+
+
+def _dw_kernel_v2(*refs, batched: bool = False):
+    """Grid (B, P). refs: P0 slots (-1..3), P1 slots (-1..3), g, out.
+    o_ref [27, Cp, Cf] (leading B when `batched`) accumulates across the
+    grid; dw[t][a, b] = sum g[a, pix] * phase_tap(full)[b, pix]."""
+    (p0m, p00, p01, p02, p03, p1m, p10, p11, p12, p13, g_ref,
+     o_ref) = refs
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+    first = p == 0
+    if not batched:
+        first = jnp.logical_and(b == 0, first)
+
+    @pl.when(first)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    hp_slots = ((p0m, p00, p01, p02, p03), (p1m, p10, p11, p12, p13))
+    g = g_ref[...]  # [Cp, H2, W] packed slab p (lane half 0 = slice 2p)
+    cp, h2, w = g.shape
+    ga = g.reshape(cp, h2 * w)
+    for th in (0, 1, 2):
+        slots = hp_slots[0 if th == 1 else 1]
+        for td in (0, 1, 2):
+            a_raw = slots[td][...]
+            if td == 0:
+                a_raw = jnp.where(p > 0, a_raw, 0.0)
+            b_raw = slots[td + 2][...]
+            for tw in (0, 1, 2):
+                opnd = jnp.concatenate(
+                    [_w_piece(a_raw, tw), _w_piece(b_raw, tw)], axis=-1
+                )  # [Cf, H2, W]
+                if th == 0:
+                    opnd = _shift_hw(opnd, -1, 0)
+                cf = opnd.shape[0]
+                tap = (td * 3 + th) * 3 + tw
+                o_ref[tap] += jax.lax.dot_general(
+                    ga, opnd.reshape(cf, h2 * w),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+@partial(jax.jit, static_argnames=("batched", "interpret"))
+def _dw_v2(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
+           interpret: bool = False) -> jnp.ndarray:
+    """Phase-split weight gradient; same contract as `_dw_dil_v1`:
+    [27, C_packed, C_full] (leading B when `batched`)."""
+    b, cf, dsz, h, wd = full.shape
+    _, cp, p_cnt, h2, w2 = packed.shape
+    assert dsz == 4 * p_cnt and h == 2 * h2 and wd == w2
+    p0, p1 = _phase_split(full)
+    if batched:
+        out_spec = pl.BlockSpec((None, 27, cp, cf),
+                                lambda bi, pi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, 27, cp, cf), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((27, cp, cf), lambda bi, pi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((27, cp, cf), jnp.float32)
+    return pl.pallas_call(
+        partial(_dw_kernel_v2, batched=batched),
+        grid=(b, p_cnt),
+        in_specs=_phase_specs(cf, h2, wd, dsz) + [
+            pl.BlockSpec((None, cp, None, h2, w2),
+                         lambda bi, pi: (bi, 0, pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(*([p0] * 5 + [p1] * 5 + [packed]))
+
+
+def _phase_on() -> bool:
+    """Trace-time selector for the phase-split (v2) s2/dw kernels.
+    Opt-in via COMA_S2_PHASE=1 until hardware-timed (interpret-exact;
+    scripts/kernel_probe.py 's2' family A/Bs both generations on chip)."""
+    import os
+
+    return os.environ.get("COMA_S2_PHASE", "0") == "1"
+
+
+def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """k=3 stride-2 SAME conv -> PACKED [B, Cout, D/4, H/2, W]."""
+    fn = _s2_fwd_v2 if _phase_on() else _s2_fwd_v1
+    return fn(x, w, interpret=interpret)
+
+
+def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
+            interpret: bool = False) -> jnp.ndarray:
+    """dw [27, C_packed, C_full] (leading B when `batched`)."""
+    fn = _dw_v2 if _phase_on() else _dw_dil_v1
+    return fn(full, packed, batched=batched, interpret=interpret)
 
 
 def _disabled() -> set:

@@ -32,7 +32,12 @@ from coma_unet_tpu.train.checkpoint import CheckpointManager
 from coma_unet_tpu.train.optim import ReduceLROnPlateau, get_lr, make_optimizer, set_lr
 from coma_unet_tpu.train.recorder import MetricRecorder, loss_graph
 from coma_unet_tpu.train.state import TrainState, create_train_state
-from coma_unet_tpu.train.step import make_eval_step, make_train_step
+from coma_unet_tpu.train.step import (
+    make_eval_step,
+    make_split_train_step,
+    make_train_step,
+    split_step_supported,
+)
 
 log = logging.getLogger(__name__)
 
@@ -174,7 +179,16 @@ def train(
             eval_step = make_sharded_eval_step(model, mesh, num_rois)
     if train_step is None:
         # donate the previous state's buffers — halves optimizer-state HBM
-        train_step = make_train_step(model, lcfg, donate=True)
+        if split_step_supported(model, lcfg):
+            # segment-compiled step: runs the FULL packed/strided Pallas
+            # kernel family in training (the monolithic fwd+bwd module
+            # exceeds the remote TPU compile helper's Mosaic budget and
+            # would force the packed-level-off variant). COMA_TRAIN_SPLIT=0
+            # restores the single-program step.
+            train_step = make_split_train_step(model, lcfg, donate=True)
+            log.info("using segment-compiled train step (packed family on)")
+        else:
+            train_step = make_train_step(model, lcfg, donate=True)
     if eval_step is None:
         eval_step = make_eval_step(model, num_rois)
 

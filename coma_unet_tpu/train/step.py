@@ -197,6 +197,149 @@ def make_train_step(
     return train_step
 
 
+def split_step_supported(model, loss_config: LossConfig) -> bool:
+    """Whether `make_split_train_step` can serve this model/loss combo: the
+    flagship single-forward (RnC) path on a stage-aware model with no
+    BatchNorm cross-segment mutation. Opt-in via `COMA_TRAIN_SPLIT=1`: the
+    split step is the only way to train with the full packed Pallas family
+    (the monolithic fwd+bwd module SIGKILLs the remote TPU compile helper),
+    and it compiles+trains on hardware (loss decreases), but its measured
+    step time (4.8 s vs the packed-off monolithic's 632 ms, r3) is not yet
+    competitive — see scripts/train_step_probe.py segment attribution."""
+    import inspect
+    import os
+
+    if os.environ.get("COMA_TRAIN_SPLIT", "0") != "1":
+        return False
+    cfg = getattr(model, "config", None)
+    if cfg is None or getattr(cfg, "norm", "instance") == "batch":
+        return False
+    if not (getattr(cfg, "pallas_convs", False)
+            and getattr(cfg, "packed_level", False)):
+        return False  # nothing to gain: the monolithic step compiles fine
+    if not loss_config.rnc:
+        return False  # tCDS needs 3 forwards; not split-scheduled (yet)
+    try:
+        return "stage" in inspect.signature(type(model).__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
+def make_split_train_step(
+    model,
+    loss_config: LossConfig,
+    donate: bool = True,
+    return_grads: bool = False,
+) -> Callable:
+    """Train step compiled as FOUR chained XLA programs instead of one:
+
+        enc_fwd : params, batch, rng              -> encoder feats
+        dec_grad: params, feats, batch, ...       -> loss aux, d(params), d(feats)
+        enc_bwd : params, batch, rng, d(feats)    -> d(params)   (recomputes fwd)
+        update  : state, grads                    -> new state
+
+    Same math as `make_train_step` (the decoder program differentiates the
+    decoder+modulator+heads+loss; the encoder program replays the encoder
+    forward under `jax.vjp` — i.e. remat at the segment boundary, which the
+    per-block remat inside the segments already pays anyway), but each
+    compiled module carries only its own segment's Mosaic kernels. That is
+    what lets the full packed/strided Pallas family
+    (ops/pallas/conv3d_strided.py) run in TRAINING: the single-module
+    fwd+bwd exceeds the remote TPU compile helper's memory budget
+    (measured r2-r3: 53 Mosaic calls compile, 47 with >=8 large
+    strided/packed programs SIGKILL), while each segment stays well under.
+
+    The chained programs dispatch back-to-back with no host sync between
+    them, so the relay dispatch floor is paid once per step, not four times.
+    Flagship path only (see `split_step_supported`): single forward (RnC),
+    no BatchNorm. Reference workload: `attn_unet_data_parallel.py:779-910`.
+    """
+    import os
+
+    criterion = GenerativeContrastiveLoss(loss_config)
+    if not loss_config.rnc:
+        raise ValueError("make_split_train_step supports the RnC path only")
+
+    def _enc(params, batch, rng):
+        return model.apply(
+            {"params": params}, batch["mri"], batch["covars"],
+            train=True, rngs={"dropout": rng}, stage="encoder",
+        )
+
+    def _dec_loss(params, feats, batch, roi_weights, rng, voxel_weights):
+        outs = model.apply(
+            {"params": params}, batch["mri"], batch["covars"],
+            batch.get("roi_loc"), batch.get("roi_std"),
+            batch.get("roi_compact"), train=True, with_projections=True,
+            rngs={"dropout": rng}, stage="decoder", encoder_feats=feats,
+        )
+        valid = batch.get("valid_mask")
+        losses = criterion(
+            outs.out, batch["tau"], batch["roi_compact"], roi_weights,
+            rnc_features=outs.projections[-1], rnc_labels=batch["covars"],
+            voxel_weights=voxel_weights, valid=valid,
+        )
+        aux = {
+            "loss": losses.total,
+            "gen_loss": losses.gen,
+            "pred_space_loss": losses.pred_space,
+            "tcds_loss": losses.tcds,
+        }
+        return losses.total, aux
+
+    enc_fwd = jax.jit(_enc)
+    dec_grad = jax.jit(
+        jax.value_and_grad(_dec_loss, argnums=(0, 1), has_aux=True),
+        donate_argnums=(1,) if donate else (),
+    )
+
+    def _enc_bwd(params, batch, rng, g_feats):
+        _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), params)
+        return vjp_fn(g_feats)[0]
+
+    enc_bwd = jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ())
+
+    def _update(state, g_dec, g_enc):
+        grads = jax.tree.map(jnp.add, g_dec, g_enc)
+        new_state = state.apply_gradients(grads)
+        gn = optax_global_norm(grads)
+        return new_state, (gn, grads) if return_grads else (gn,)
+
+    update = jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ())
+
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        roi_weights: jnp.ndarray,
+        rng: jax.Array,
+        voxel_weights: jnp.ndarray = None,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if state.batch_stats:
+            raise ValueError(
+                "split train step does not thread batch_stats; use "
+                "norm='instance' or the monolithic make_train_step"
+            )
+        feats = enc_fwd(state.params, batch, rng)
+        (_, aux), (g_dec, g_feats) = dec_grad(
+            state.params, feats, batch, roi_weights, rng, voxel_weights
+        )
+        g_enc = enc_bwd(state.params, batch, rng, g_feats)
+        new_state, extra = update(state, g_dec, g_enc)
+        aux = dict(aux)
+        aux["grad_norm"] = extra[0]
+        if return_grads:
+            aux["grads"] = extra[1]
+        return new_state, aux
+
+    # expose the compiled segments for per-program probing/warming
+    # (scripts/train_step_probe.py) — same jitted callables the step chains
+    train_step.segments = {
+        "enc_fwd": enc_fwd, "dec_grad": dec_grad, "enc_bwd": enc_bwd,
+        "update": update,
+    }
+    return train_step
+
+
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))

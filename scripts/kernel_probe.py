@@ -24,10 +24,17 @@ from coma_unet_tpu.models.blocks import same_padding, transposed_padding
 DT = jnp.bfloat16
 
 
+def _fetch(out):
+    # force a real device->host scalar fetch per leaf (grad fns return
+    # tuples; block_until_ready returns early through the relay)
+    return sum(float(jnp.sum(leaf.astype(jnp.float32)))
+               for leaf in jax.tree.leaves(out))
+
+
 def timeit(tag, fn, *args, n=20, warm=2):
     f = jax.jit(fn)
     t0 = time.time()
-    float(jnp.sum(f(*args)))
+    _fetch(f(*args))
     compile_s = time.time() - t0
     for _ in range(warm):
         f(*args)
@@ -35,7 +42,7 @@ def timeit(tag, fn, *args, n=20, warm=2):
     out = None
     for _ in range(n):
         out = f(*args)
-    float(jnp.sum(out))
+    _fetch(out)
     ms = (time.time() - t0) / n * 1000
     print(f"{tag:46s} {ms:8.2f} ms   (compile {compile_s:5.1f}s)", flush=True)
     return ms
@@ -83,13 +90,24 @@ def main(fams):
                                                 tpad, (2, 2, 2))), xp, w)
 
     if "s2" in fams:
+        import coma_unet_tpu.ops.pallas.conv3d_strided as strided
+
         x = mk((2, 32, 128, 128, 128))
         w = mk((64, 32, 3, 3, 3))
-        timeit("s2 fwd pallas (emits packed)", pallas_conv3d_s2, x, w)
+        timeit("s2 fwd v1 (decimation)",
+               lambda x_, w_: strided._s2_fwd_v1(x_, w_), x, w)
+        timeit("s2 fwd v2 (phase-split)",
+               lambda x_, w_: strided._s2_fwd_v2(x_, w_), x, w)
         timeit("s2 fwd XLA (conv + pack)",
                lambda x_, w_: pack_w(xla_conv(x_, w_, (2, 2, 2),
                                               same_padding((3, 3, 3)))), x, w)
-        timeit("s2 fwd+bwd pallas", grad_fn(pallas_conv3d_s2), x, w)
+        gp = mk((2, 64, 32, 64, 128))  # packed cotangent of the s2 output
+        timeit("s2 dw v1 (dilated corr)",
+               lambda x_, g_: strided._dw_dil_v1(x_, g_), x, gp)
+        timeit("s2 dw v2 (phase-split)",
+               lambda x_, g_: strided._dw_v2(x_, g_), x, gp)
+        timeit("s2 fwd+bwd pallas (default family)",
+               grad_fn(pallas_conv3d_s2), x, w)
         timeit("s2 fwd+bwd XLA",
                grad_fn(lambda x_, w_: pack_w(
                    xla_conv(x_, w_, (2, 2, 2), same_padding((3, 3, 3))))),
@@ -128,6 +146,31 @@ def main(fams):
         timeit("s1 32ch fwd+bwd XLA",
                grad_fn(lambda x_, w_: xla_conv(
                    x_, w_, (1, 1, 1), same_padding((3, 3, 3)))), x, w)
+
+    if "g216" in fams:
+        # Template-space 216^3 shapes (PROBE_216): the direct-216^3 forward
+        # OOMs under XLA (three ~4.8 GB channel-minor temps, 8-16x layout
+        # padding — probe_216.py r3). Can Mosaic compile the lane-padded
+        # (W 216->256, exact for SAME, see blocks.conv3d) kernels at these
+        # slab sizes?  k=3 c=32 is the head conv; k=1 c=16 the gate convs.
+        x = mk((1, 32, 216, 216, 256))
+        w = mk((32, 32, 3, 3, 3))
+        op = lambda x_, w_: pallas_conv3d(x_, w_, 3)  # noqa: E731
+        timeit("g216 k3 32ch 216x216x256 fwd pallas", op, x, w)
+        timeit("g216 k3 32ch fwd+bwd pallas", grad_fn(op), x, w)
+        x1 = mk((1, 16, 216, 216, 256))
+        w1 = mk((16, 16, 1, 1, 1))
+        op1 = lambda x_, w_: pallas_conv3d(x_, w_, 1)  # noqa: E731
+        timeit("g216 k1 16ch 216x216x256 fwd pallas", op1, x1, w1)
+        timeit("g216 k1 16ch fwd+bwd pallas", grad_fn(op1), x1, w1)
+        # XLA comparison at the TRUE (unpadded) width — what dispatch
+        # falls back to today, layout relayout included:
+        xt = mk((1, 32, 216, 216, 216))
+        timeit("g216 k3 32ch 216^3 fwd XLA", lambda x_, w_: xla_conv(
+            x_, w_, (1, 1, 1), same_padding((3, 3, 3))), xt, w)
+        timeit("g216 k3 32ch fwd+bwd XLA",
+               grad_fn(lambda x_, w_: xla_conv(
+                   x_, w_, (1, 1, 1), same_padding((3, 3, 3)))), xt, w)
 
 
 if __name__ == "__main__":

@@ -17,12 +17,26 @@ import time
 
 sys.path.insert(0, ".")
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
 n_dev = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + f" --xla_force_host_platform_device_count={n_dev}"
-    + " --xla_cpu_collective_timeout_seconds=7200"
 ).strip()
+# The rendezvous 20 s warn / 40 s terminate deadlines
+# (xla_cpu_collective_call_{warn_stuck,terminate_timeout}_seconds) are
+# DebugOptions fields NOT registered with this jaxlib's XLA_FLAGS parser
+# (parse_flags_from_env aborts on them — measured r3); they must go in as
+# per-compile compiler options via jit(...).lower(...).compile(...). The 8
+# serialized bf16 shards on this 1-core host spread collective arrivals far
+# past the default 40 s, which SIGABRTs the whole run otherwise.
+_RDZV_OPTS = {
+    "xla_cpu_collective_call_warn_stuck_seconds": "600",
+    "xla_cpu_collective_call_terminate_timeout_seconds": "7200",
+}
 
 import jax
 
@@ -63,13 +77,21 @@ def main():
     step = make_sharded_train_step(model, LossConfig(), mesh, donate=False)
     roi_w = jnp.full((36,), 225.0)
     t0 = time.time()
-    new_state, aux = step(state, sbatch, roi_w, jax.random.PRNGKey(1))
+    lowered = step.lower(state, sbatch, roi_w, jax.random.PRNGKey(1))
+    print(f"lowered: {time.time()-t0:.0f}s", flush=True)
+    try:
+        compiled = lowered.compile(compiler_options=_RDZV_OPTS)
+    except Exception as e:  # older jaxlibs: unknown option names
+        print(f"compiler_options rejected ({e}); default deadlines", flush=True)
+        compiled = lowered.compile()
+    print(f"compiled: {time.time()-t0:.0f}s", flush=True)
+    new_state, aux = compiled(state, sbatch, roi_w, jax.random.PRNGKey(1))
     loss = float(aux["loss"])
     print(f"full-depth sharded step compile+run: {time.time()-t0:.0f}s "
           f"loss={loss:.4f}", flush=True)
     assert np.isfinite(loss) and int(new_state.step) == 1
     t0 = time.time()
-    new_state, aux = step(new_state, sbatch, roi_w, jax.random.PRNGKey(2))
+    new_state, aux = compiled(new_state, sbatch, roi_w, jax.random.PRNGKey(2))
     loss2 = float(aux["loss"])
     print(f"second step: {time.time()-t0:.0f}s loss={loss2:.4f}", flush=True)
     assert np.isfinite(loss2)

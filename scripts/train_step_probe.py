@@ -71,6 +71,10 @@ def main():
         make_optimizer,
         make_train_step,
     )
+    from coma_unet_tpu.train.step import (
+        make_split_train_step,
+        split_step_supported,
+    )
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     print("devices:", jax.devices(),
@@ -88,7 +92,15 @@ def main():
          batch["roi_compact"]),
         {"train": True}, variables=variables,
     )
-    step = make_train_step(model, LossConfig(), donate=False)
+    lcfg = LossConfig()
+    if split_step_supported(model, lcfg):
+        # segment-compiled step (4 chained XLA programs): the full Pallas
+        # family in training without blowing the compile helper's budget
+        print("using make_split_train_step (COMA_TRAIN_SPLIT=0 disables)",
+              flush=True)
+        step = make_split_train_step(model, lcfg, donate=False)
+    else:
+        step = make_train_step(model, lcfg, donate=False)
     roi_w = jnp.full((36,), 225.0)
 
     t0 = time.time()
@@ -104,6 +116,37 @@ def main():
     per = (time.time() - t0) / n
     print(f"train step (b=2): {per*1000:.1f} ms ({2/per:.2f} samples/s), "
           f"loss={loss:.4f}", flush=True)
+
+    segs = getattr(step, "segments", None)
+    if segs:
+        # attribute the step time: chain each compiled segment standalone
+        # (n dispatches, one scalar fetch — amortizes the ~28 ms relay floor)
+        def fetch(out):
+            return sum(float(jnp.sum(leaf.astype(jnp.float32)))
+                       for leaf in jax.tree.leaves(out))
+
+        key = jax.random.PRNGKey(1)
+        feats = segs["enc_fwd"](state.params, batch, key)
+        (_, aux2), (g_dec, g_feats) = segs["dec_grad"](
+            state.params, feats, batch, roi_w, key, None)
+        g_enc = segs["enc_bwd"](state.params, batch, key, g_feats)
+        calls = {
+            "enc_fwd": lambda: segs["enc_fwd"](state.params, batch, key),
+            "dec_grad": lambda: segs["dec_grad"](
+                state.params, feats, batch, roi_w, key, None),
+            "enc_bwd": lambda: segs["enc_bwd"](
+                state.params, batch, key, g_feats),
+            "update": lambda: segs["update"](state, g_dec, g_enc),
+        }
+        for name, call in calls.items():
+            fetch(call())  # warm
+            t0 = time.time()
+            out = None
+            for _ in range(n):
+                out = call()
+            fetch(out)
+            ms = (time.time() - t0) / n * 1000
+            print(f"  segment {name:8s}: {ms:8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

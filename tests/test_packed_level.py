@@ -115,6 +115,40 @@ def test_strided_vjps_match_xla():
     assert _rel(dx2, rdx2) < 1e-5 and _rel(dw2, rdw2) < 1e-5
 
 
+@pytest.mark.parametrize("fwd,dw", [
+    (strided._s2_fwd_v1, strided._dw_dil_v1),
+    (strided._s2_fwd_v2, strided._dw_v2),
+])
+def test_s2_versions_interpret_match_xla(fwd, dw):
+    """Both s2/dw kernel generations (v1 decimation, v2 phase-split) stay
+    exact regardless of which one COMA_S2_PHASE selects as default."""
+    rng = np.random.default_rng(11)
+    b, cin, cout, d, h, wd = 2, 3, 5, 8, 8, 8
+    x = jnp.asarray(rng.uniform(-1, 1, (b, cin, d, h, wd)), jnp.float32)
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (cout, cin, 3, 3, 3)), jnp.float32)
+    out = strided.unpack_w(fwd(x, w, interpret=True))
+    assert _rel(out, _xla_s2(x, w)) < 1e-5
+    g = jnp.asarray(
+        rng.uniform(-1, 1, (b, cout, d // 2, h // 2, wd // 2)), jnp.float32)
+    gp = strided.pack_w(g)
+    _, vjp = jax.vjp(lambda a, k: _xla_s2(a, k), x, w)
+    _, rdw = vjp(g)
+    got = dw(x, gp, interpret=True)
+    got = jnp.transpose(got, (1, 2, 0)).reshape(cout, cin, 3, 3, 3)
+    assert _rel(got, rdw) < 1e-5
+    # per-sample (CondConv) weights
+    wb = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (b, cout, cin, 3, 3, 3)), jnp.float32)
+    out_b = fwd(x, wb, interpret=True)
+    ref_b = jnp.concatenate(
+        [fwd(x[i:i + 1], wb[i], interpret=True) for i in range(b)])
+    assert _rel(out_b, ref_b) < 1e-5
+    dw_b = dw(x, gp, batched=True, interpret=True)
+    for i in range(b):
+        dw_i = dw(x[i:i + 1], gp[i:i + 1], interpret=True)
+        assert _rel(dw_b[i], dw_i) < 1e-5
+
+
 def test_packed_stride1_dw_matches_xla():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 3, 6, 8, 64)), jnp.float32)

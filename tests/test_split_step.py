@@ -1,0 +1,154 @@
+"""Segment-compiled train step == monolithic train step.
+
+`make_split_train_step` compiles the flagship step as four chained XLA
+programs (encoder fwd / decoder fwd+bwd / encoder bwd-with-recompute /
+optimizer update) so the full packed Pallas family fits the remote TPU
+compile helper's per-module Mosaic budget. These tests pin the contract the
+split relies on: staged forwards reproduce the full forward exactly, and the
+split step's loss/grads/updated params match `make_train_step` (reference
+objective: `attn_unet_data_parallel.py:779-910`).
+
+CPU (f32 compute): both paths lower to the same XLA fallback convs, so
+agreement is to float tolerance, not design luck.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coma_unet_tpu.config import LossConfig, ModelConfig
+from coma_unet_tpu.models import ContraAttnUNet
+from coma_unet_tpu.train import create_train_state, make_optimizer
+from coma_unet_tpu.train.step import (
+    make_split_train_step,
+    make_train_step,
+    split_step_supported,
+)
+from tests.conftest import make_batch
+
+
+def _state(model, batch, lr=1e-3):
+    return create_train_state(
+        model, make_optimizer(lr), jax.random.PRNGKey(0),
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True},
+    )
+
+
+@pytest.fixture(scope="module")
+def split_model_config():
+    # packed_level=True so split_step_supported passes; at 16^3 the packed
+    # predicate resolves False on both paths, which is exactly what CPU sees.
+    return ModelConfig(
+        channels=(4, 8, 16),
+        strides=(2, 2, 2),
+        latent_spaces=(32, 32, 32),
+        prompt_shape=(16, 16, 16),
+        num_experts=4,
+        compute_dtype="float32",
+    )
+
+
+def test_staged_forward_matches_full(split_model_config, rng):
+    model = ContraAttnUNet(split_model_config)
+    batch = make_batch(rng)
+    state = _state(model, batch)
+    args = (batch["mri"], batch["covars"], batch["roi_loc"],
+            batch["roi_std"], batch["roi_compact"])
+    full = model.apply({"params": state.params}, *args, train=True,
+                       with_projections=True,
+                       rngs={"dropout": jax.random.PRNGKey(7)})
+    feats = model.apply({"params": state.params}, batch["mri"],
+                        batch["covars"], train=True, stage="encoder",
+                        rngs={"dropout": jax.random.PRNGKey(7)})
+    assert len(feats) == split_model_config.depth
+    staged = model.apply({"params": state.params}, *args, train=True,
+                         with_projections=True, stage="decoder",
+                         encoder_feats=feats,
+                         rngs={"dropout": jax.random.PRNGKey(7)})
+    np.testing.assert_allclose(staged.out, full.out, rtol=1e-5, atol=1e-5)
+    for a, b in zip(staged.projections, full.projections):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(staged.final_projection, full.final_projection,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_split_step_matches_monolithic(split_model_config, rng, monkeypatch):
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")  # opt-in (see step.py)
+    monkeypatch.delenv("COMA_TRAIN_PACKED", raising=False)
+    monkeypatch.setenv("COMA_TRAIN_PACKED", "1")  # identical model variant
+    model = ContraAttnUNet(split_model_config)
+    lcfg = LossConfig()
+    assert split_step_supported(model, lcfg)
+    batch = make_batch(rng)
+    batch["valid_mask"] = jnp.asarray([1.0, 0.0])  # exercise partial batch
+    roi_w = jnp.full((36,), 225.0)
+    step_rng = jax.random.PRNGKey(3)
+
+    mono = make_train_step(model, lcfg, donate=False, return_grads=True)
+    split = make_split_train_step(model, lcfg, donate=False,
+                                  return_grads=True)
+
+    s_mono, aux_mono = mono(_state(model, batch), batch, roi_w, step_rng)
+    s_split, aux_split = split(_state(model, batch), batch, roi_w, step_rng)
+
+    np.testing.assert_allclose(aux_split["loss"], aux_mono["loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(aux_split["gen_loss"], aux_mono["gen_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(aux_split["tcds_loss"], aux_mono["tcds_loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(aux_split["grad_norm"], aux_mono["grad_norm"],
+                               rtol=1e-4, atol=1e-6)
+
+    flat_m = jax.tree_util.tree_leaves_with_path(aux_mono["grads"])
+    flat_s = jax.tree_util.tree_leaves_with_path(aux_split["grads"])
+    assert len(flat_m) == len(flat_s)
+    for (pm, gm), (ps, gs) in zip(flat_m, flat_s):
+        assert pm == ps
+        # atol floor 1e-5: bias grads are sums of ~8k cotangents of ~1e-3
+        # magnitude with heavy cancellation (net ~1e-5), so the f32 error
+        # floor is set by the large intermediate terms, not the tiny result
+        # — measured 3e-6 divergence between the two (mathematically equal)
+        # accumulation orders. Real missing-grad-path bugs are O(leaf).
+        np.testing.assert_allclose(
+            gs, gm, rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pm)}",
+        )
+    for ((pm, wm), (ps, ws), (_, gm)) in zip(
+        jax.tree_util.tree_leaves_with_path(s_mono.params),
+        jax.tree_util.tree_leaves_with_path(s_split.params),
+        jax.tree_util.tree_leaves_with_path(aux_mono["grads"]),
+    ):
+        # Adam's first-step update is ~ +-lr * sign(g): for elements whose
+        # grad is at the f32 accumulation noise floor (|g| ~ 1e-5 +- 3e-6,
+        # sums of ~8k cancelling ~1e-3 cotangents), the two mathematically
+        # equal accumulation orders can flip the sign and move the param by
+        # a full 2*lr. Compare only elements whose grad is 10x above that
+        # floor; the grad comparison above already covers the rest.
+        stable = np.abs(np.asarray(gm)) > 1e-4
+        np.testing.assert_allclose(
+            np.asarray(ws)[stable], np.asarray(wm)[stable],
+            rtol=1e-4, atol=5e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(pm)}",
+        )
+    assert int(s_split.step) == 1
+
+
+def test_split_step_gating(split_model_config, monkeypatch):
+    model = ContraAttnUNet(split_model_config)
+    # opt-in: monolithic by default until the split step's measured step
+    # time is competitive (see split_step_supported)
+    monkeypatch.delenv("COMA_TRAIN_SPLIT", raising=False)
+    assert not split_step_supported(model, LossConfig())
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    assert split_step_supported(model, LossConfig())
+    # tCDS (3-forward) path is not split-scheduled
+    assert not split_step_supported(model, LossConfig(rnc=False))
+    # nothing to gain without the packed family
+    import dataclasses
+
+    cfg = dataclasses.replace(split_model_config, packed_level=False)
+    assert not split_step_supported(ContraAttnUNet(cfg), LossConfig())
