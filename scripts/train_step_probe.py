@@ -103,6 +103,38 @@ def main():
         step = make_train_step(model, lcfg, donate=False)
     roi_w = jnp.full((36,), 225.0)
 
+    def retry(tag, fn, attempts=3):
+        # the remote compile helper's SIGKILL is load-dependent (the same
+        # program compiled fine and SIGKILLed an hour apart, r3) — retry
+        # each segment's first compile a few times before giving up
+        for i in range(attempts):
+            try:
+                t0 = time.time()
+                out = fn()
+                print(f"{tag}: compile+run {time.time()-t0:.1f}s", flush=True)
+                return out
+            except Exception as e:  # noqa: BLE001
+                print(f"{tag}: attempt {i+1} failed: {str(e)[:200]}",
+                      flush=True)
+                time.sleep(20)
+        raise RuntimeError(f"{tag}: all {attempts} attempts failed")
+
+    segs = getattr(step, "segments", None)
+    key = jax.random.PRNGKey(1)
+    if segs:
+        # warm each compiled program individually (the helper handles one
+        # program at a time far more reliably than a back-to-back chain)
+        feats = retry("warm enc_fwd",
+                      lambda: segs["enc_fwd"](state.params, batch, key))
+        (_, _aux), (g_dec, g_feats) = retry(
+            "warm dec_grad",
+            lambda: segs["dec_grad"](state.params, feats, batch, roi_w, key,
+                                     None))
+        g_enc = retry("warm enc_bwd",
+                      lambda: segs["enc_bwd"](state.params, batch, key,
+                                              g_feats))
+        retry("warm update", lambda: segs["update"](state, g_dec, g_enc))
+
     t0 = time.time()
     state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
     loss0 = float(aux["loss"])
@@ -117,19 +149,16 @@ def main():
     print(f"train step (b=2): {per*1000:.1f} ms ({2/per:.2f} samples/s), "
           f"loss={loss:.4f}", flush=True)
 
-    segs = getattr(step, "segments", None)
     if segs:
-        # attribute the step time: chain each compiled segment standalone
-        # (n dispatches, one scalar fetch — amortizes the ~28 ms relay floor)
+        # attribute the step time: chain each compiled segment standalone.
+        # Fetch ONE leaf only — program execution is forced at program
+        # granularity, and fetching a whole grad/state pytree pays the
+        # ~28 ms relay floor per leaf (measured: it inflated dec_grad from
+        # ~300 ms to 1.6 s and update to 3.6 s).
         def fetch(out):
-            return sum(float(jnp.sum(leaf.astype(jnp.float32)))
-                       for leaf in jax.tree.leaves(out))
+            leaf = jax.tree.leaves(out)[0]
+            return float(jnp.sum(leaf.astype(jnp.float32)))
 
-        key = jax.random.PRNGKey(1)
-        feats = segs["enc_fwd"](state.params, batch, key)
-        (_, aux2), (g_dec, g_feats) = segs["dec_grad"](
-            state.params, feats, batch, roi_w, key, None)
-        g_enc = segs["enc_bwd"](state.params, batch, key, g_feats)
         calls = {
             "enc_fwd": lambda: segs["enc_fwd"](state.params, batch, key),
             "dec_grad": lambda: segs["dec_grad"](
