@@ -428,8 +428,8 @@ def _t2_kernel(pa_ref, pb_ref, w_ref, s0_ref, s1_ref, o_ref, *, jsize: int):
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _t2_fwd(xp: jnp.ndarray, w: jnp.ndarray,
-            interpret: bool = False) -> jnp.ndarray:
+def _t2_fwd_v1(xp: jnp.ndarray, w: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
     """k=3 s=2 SAME transposed conv on PACKED input [B, Cin, P, H, 2W]
     (P packed slabs = 2P input D-slices, read from lane halves in-kernel).
     Returns full-resolution [B, Cout, 4P, 2H, 2W] = 2x upsampled NCDHW."""
@@ -615,6 +615,152 @@ def _dw_dil_v1(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# transposed, PHASE-SPLIT (v2): the v1 kernel W-dilates via scatter matmuls
+# and runs taps on dilated (half-zero) operands. v2 exploits the transposed
+# conv's exact phase structure per dim — out[2m] = w[1]*in[m] and
+# out[2m+1] = w[0]*in[m] + w[2]*in[m+1] (k=3, s=2, p=1, output_padding=1) —
+# so each of the 8 output phase tensors is a small set of channel-stacked
+# dots on UNDILATED full-lane-width operands: a packed slab [in_2q | in_2q+1]
+# yields two output D-slices per lane half, half the grid steps of v1, zero
+# scatter work, minimal FLOPs. The 8 phase outputs interleave back to the
+# full-resolution volume in XLA (`_t2_phase_merge`, pure reshapes).
+# ---------------------------------------------------------------------------
+
+
+def _shift_w_halves(x: jnp.ndarray) -> jnp.ndarray:
+    """s[..., u] = x[..., u+1] independently per 64-lane half (zero at each
+    half's top) — a packed slab's lane halves are DIFFERENT D-slices, so a
+    plain lane shift would leak across them."""
+    w2 = x.shape[-1] // 2
+    a, b = x[..., :w2], x[..., w2:]
+    z = jnp.zeros_like(a[..., :1])
+    sh = lambda t: jnp.concatenate([t[..., 1:], z], axis=-1)  # noqa: E731
+    return jnp.concatenate([sh(a), sh(b)], axis=-1)
+
+
+def _t2_kernel_v2(pa_ref, pb_ref, w_ref, *o_refs, psize: int):
+    """Grid (B, Q): slab q = [in_2q | in_2q+1] -> output D-slices
+    4q..4q+3 across 8 phase outputs (even-d x 4 HW-phases, odd-d x 4).
+    o_refs order: E(0,0) E(0,1) E(1,0) E(1,1) O(0,0) ... O(1,1)."""
+    q = pl.program_id(1)
+    sa = pa_ref[...]  # [Cin, H, 2W]: lanes [in_2q | in_2q+1]
+    nxt = pb_ref[...]  # slab q+1 (clipped)
+    # sB = [in_2q+1 | in_2q+2]; the top slice is off the volume at the last q
+    top = jnp.where(q < psize - 1, nxt[..., : nxt.shape[-1] // 2], 0.0)
+    sb = jnp.concatenate([sa[..., sa.shape[-1] // 2:], top], axis=-1)
+
+    def tapw(idx, dtype):  # w_ref [27, Cout, Cin], tap (td*3+th)*3+tw
+        return w_ref[idx].astype(dtype)
+
+    def phase(base_taps, hp, wp):
+        """base_taps: ((base, td), ...); returns the phase's accumulated dot.
+        Per dim: phase 0 -> tap 1 unshifted; phase 1 -> tap 0 unshifted +
+        tap 2 shifted +1 (next input element)."""
+        ths = (1,) if hp == 0 else (0, 2)
+        tws = (1,) if wp == 0 else (0, 2)
+        parts, wks = [], []
+        for base, td in base_taps:
+            for th in ths:
+                for tw in tws:
+                    s = base
+                    if th == 2:
+                        s = _shift_hw(s, 1, 0)
+                    if tw == 2:
+                        s = _shift_w_halves(s)
+                    parts.append(s)
+                    wks.append(tapw((td * 3 + th) * 3 + tw, s.dtype))
+        cat = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        wk = jnp.concatenate(wks, axis=1) if len(wks) > 1 else wks[0]
+        prec = (jax.lax.Precision.HIGHEST
+                if cat.dtype == jnp.float32 else None)
+        return jax.lax.dot_general(
+            wk, cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    i = 0
+    for base_taps in (((sa, 1),), ((sa, 0), (sb, 2))):  # even-d, odd-d
+        for hp in (0, 1):
+            for wp in (0, 1):
+                o_refs[i][...] = phase(base_taps, hp, wp).astype(
+                    o_refs[i].dtype)
+                i += 1
+
+
+def _t2_phase_merge(phases, h: int, w: int):
+    """8 phase tensors [B, Cout, Q, H, 2W] -> full-res
+    [B, Cout, 4Q, 2H, 2W] (pure XLA reshapes/interleaves).
+    phases ordered E(0,0) E(0,1) E(1,0) E(1,1) O(...)."""
+    b, c, qn, _, _ = phases[0].shape
+    quads = []
+    for half in (0, 1):  # lane half = D-slice pair member
+        for par in (0, 1):  # E, O
+            hw = jnp.stack(
+                [
+                    jnp.stack(
+                        [phases[par * 4 + hp * 2 + wp]
+                         [..., half * w:(half + 1) * w]
+                         for wp in (0, 1)],
+                        axis=-1,
+                    )  # [B,C,Q,H,w,2]
+                    for hp in (0, 1)
+                ],
+                axis=-3,
+            )  # [B,C,Q,H,2,w,2]
+            quads.append(hw)
+    # d_o = 4q + 2*half + par -> stack order (half, par) = (0,0),(0,1),(1,0),(1,1)
+    r = jnp.stack(quads, axis=3)  # [B,C,Q,4,H,2,w,2]
+    return r.reshape(b, c, 4 * qn, 2 * h, 2 * w)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _t2_fwd_v2(xp: jnp.ndarray, w: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    """Phase-split k=3 s=2 SAME transposed conv; same contract as
+    `_t2_fwd_v1`: packed [B, Cin, P, H, 2W] -> [B, Cout, 4P, 2H, 2W]."""
+    b, cin, p_cnt, h, w2 = xp.shape
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
+    if batched:
+        w_taps = jnp.transpose(
+            w.reshape(b, cout, cin, -1), (0, 3, 1, 2)
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, 27, cout, cin),
+                              lambda bi, qi: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w.reshape(cout, cin, -1), (2, 0, 1)).astype(
+            jnp.float32
+        )
+        w_spec = pl.BlockSpec((27, cout, cin), lambda bi, qi: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def idx(off):
+        def f(bi, qi):
+            return (bi, 0, jnp.clip(qi + off, 0, p_cnt - 1), 0, 0)
+
+        return f
+
+    spec = lambda off: pl.BlockSpec(  # noqa: E731
+        (None, cin, None, h, w2), idx(off), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((None, cout, None, h, w2),
+                            lambda bi, qi: (bi, 0, qi, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((b, cout, p_cnt, h, w2), xp.dtype)
+    phases = pl.pallas_call(
+        partial(_t2_kernel_v2, psize=p_cnt),
+        grid=(b, p_cnt),
+        in_specs=[spec(0), spec(1), w_spec],
+        out_specs=[out_spec] * 8,
+        out_shape=[out_sds] * 8,
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(xp, xp, w_taps)
+    return _t2_phase_merge(phases, h, w2 // 2)
+
+
+# ---------------------------------------------------------------------------
 # weight-gradient, PHASE-SPLIT (v2): v1 dilates the packed tensor with zeros
 # to full resolution (3/4-zero operands) and correlates 27 taps at full
 # area. v2 phase-splits the FULL-resolution tensor instead (same `_phase_split`
@@ -701,12 +847,15 @@ def _dw_v2(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
 
 
 def _phase_on() -> bool:
-    """Trace-time selector for the phase-split (v2) s2/dw kernels.
-    Opt-in via COMA_S2_PHASE=1 until hardware-timed (interpret-exact;
-    scripts/kernel_probe.py 's2' family A/Bs both generations on chip)."""
+    """Trace-time selector for the phase-split (v2) s2/dw kernels; default
+    ON. Hardware A/B (v5e, flagship shapes, artifacts/r3/kernel_probe.log):
+    s2 fwd 7.71 ms (v2) vs 8.93 (v1) vs 12.21 (XLA); dw 8.26 vs 12.93 —
+    and the v2 Mosaic programs compile in 14-20 s vs v1's 480-630 s through
+    the remote helper (far smaller programs: no scatter/selection matmuls,
+    quarter-area taps). COMA_S2_PHASE=0 restores v1."""
     import os
 
-    return os.environ.get("COMA_S2_PHASE", "0") == "1"
+    return os.environ.get("COMA_S2_PHASE", "1") != "0"
 
 
 def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
@@ -714,6 +863,26 @@ def _s2_fwd(x: jnp.ndarray, w: jnp.ndarray,
     """k=3 stride-2 SAME conv -> PACKED [B, Cout, D/4, H/2, W]."""
     fn = _s2_fwd_v2 if _phase_on() else _s2_fwd_v1
     return fn(x, w, interpret=interpret)
+
+
+def _t2_fwd(xp: jnp.ndarray, w: jnp.ndarray,
+            interpret: bool = False) -> jnp.ndarray:
+    """k=3 s=2 SAME transposed conv, packed in -> full-res out.
+
+    v1 by DEFAULT — a measured decision, opposite to s2/dw: hardware A/B
+    (v5e, up0 shapes, artifacts/r3/kernel_probe_t2.log) puts v2 at 15.82 ms
+    vs v1's 6.19 ms. The transposed conv's output is FULL-resolution, so
+    v2's 8 phase tensors must interleave back through an XLA epilogue
+    (~10 ms of lane-level shuffles on the 268 MB output), while v1's
+    scatter-dilate emits the final layout straight from the kernel. s2/dw
+    win with phases because their outputs are the SMALL side (packed /
+    [27,Co,Ci]) — no merge cost. COMA_T2_PHASE=1 selects v2 (kept for its
+    3x smaller Mosaic program, compile-budget experiments)."""
+    import os
+
+    fn = (_t2_fwd_v2 if os.environ.get("COMA_T2_PHASE", "0") == "1"
+          else _t2_fwd_v1)
+    return fn(xp, w, interpret=interpret)
 
 
 def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,

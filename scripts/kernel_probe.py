@@ -80,7 +80,12 @@ def main(fams):
         w = mk((32, 64, 3, 3, 3))  # t2 kernel convention [Cout, Cin, k,k,k]
         tpad = transposed_padding((3, 3, 3), (2, 2, 2))
         # XLA fallback: unpack -> lhs-dilated conv
-        timeit("t2 fwd pallas (packed in)", pallas_conv3d_t2, xp, w)
+        import coma_unet_tpu.ops.pallas.conv3d_strided as strided
+
+        timeit("t2 fwd v1 (scatter-dilate)",
+               lambda xp_, w_: strided._t2_fwd_v1(xp_, w_), xp, w)
+        timeit("t2 fwd v2 (phase-split)",
+               lambda xp_, w_: strided._t2_fwd_v2(xp_, w_), xp, w)
         timeit("t2 fwd XLA (unpack + lhs-dilated)",
                lambda xp_, w_: xla_conv(unpack_w(xp_), w_, (1, 1, 1), tpad,
                                         (2, 2, 2)), xp, w)

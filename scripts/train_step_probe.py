@@ -136,7 +136,9 @@ def main():
         retry("warm update", lambda: segs["update"](state, g_dec, g_enc))
 
     t0 = time.time()
-    state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
+    state, aux = retry(
+        "first step",
+        lambda: step(state, batch, roi_w, jax.random.PRNGKey(1)))
     loss0 = float(aux["loss"])
     print(f"train step compile+run: {time.time()-t0:.1f}s loss={loss0:.4f}",
           flush=True)

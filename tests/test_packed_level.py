@@ -149,6 +149,24 @@ def test_s2_versions_interpret_match_xla(fwd, dw):
         assert _rel(dw_b[i], dw_i) < 1e-5
 
 
+@pytest.mark.parametrize("fwd", [strided._t2_fwd_v1, strided._t2_fwd_v2])
+def test_t2_versions_interpret_match_xla(fwd):
+    """Both t2 generations (v1 scatter-dilate, v2 phase-split) stay exact."""
+    rng = np.random.default_rng(12)
+    b, cin, cout, d, h, wd = 2, 3, 5, 6, 8, 16
+    x = jnp.asarray(rng.uniform(-1, 1, (b, cin, d, h, wd)), jnp.float32)
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (cout, cin, 3, 3, 3)), jnp.float32)
+    out = fwd(strided.pack_w(x), w, interpret=True)
+    assert _rel(out, _xla_t2(x, w)) < 1e-5
+    wb = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (b, cout, cin, 3, 3, 3)), jnp.float32)
+    out_b = fwd(strided.pack_w(x), wb, interpret=True)
+    ref_b = jnp.concatenate(
+        [fwd(strided.pack_w(x)[i:i + 1], wb[i], interpret=True)
+         for i in range(b)])
+    assert _rel(out_b, ref_b) < 1e-5
+
+
 def test_packed_stride1_dw_matches_xla():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.uniform(-1, 1, (2, 3, 6, 8, 64)), jnp.float32)
