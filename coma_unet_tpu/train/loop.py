@@ -185,7 +185,13 @@ def train(
             # exceeds the remote TPU compile helper's Mosaic budget and
             # would force the packed-level-off variant). COMA_TRAIN_SPLIT=0
             # restores the single-program step.
-            train_step = make_split_train_step(model, lcfg, donate=True)
+            # keep block remat for large volumes (stored activations scale
+            # with volume; see make_split_train_step)
+            big = max(config.data.volume_shape) > 128
+            train_step = make_split_train_step(
+                model, lcfg, donate=True,
+                remat_blocks=True if big else None,
+            )
             log.info("using segment-compiled train step (packed family on)")
         else:
             train_step = make_train_step(model, lcfg, donate=True)

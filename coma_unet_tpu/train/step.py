@@ -18,7 +18,7 @@ AdamW update — is one compiled XLA program here. Batches are dict pytrees:
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -200,16 +200,18 @@ def make_train_step(
 def split_step_supported(model, loss_config: LossConfig) -> bool:
     """Whether `make_split_train_step` can serve this model/loss combo: the
     flagship single-forward (RnC) path on a stage-aware model with no
-    BatchNorm cross-segment mutation. Opt-in via `COMA_TRAIN_SPLIT=1`: the
-    split step is the only way to train with the full packed Pallas family
-    (the monolithic fwd+bwd module SIGKILLs the remote TPU compile helper),
-    and it compiles+trains on hardware (loss decreases), but its measured
-    step time (4.8 s vs the packed-off monolithic's 632 ms, r3) is not yet
-    competitive — see scripts/train_step_probe.py segment attribution."""
+    BatchNorm cross-segment mutation. Default ON — the measured fastest
+    training configuration (v5e, b=2 128^3, artifacts/r3/split_v2_probe.log):
+    569.5 ms/step with the FULL packed Pallas family (enc_fwd 34.6 /
+    dec_grad 256.2 / enc_bwd 179.0 / update 18.2), vs 632 ms for the
+    packed-off monolithic step. The monolithic step with the packed family
+    on either SIGKILLs the compile helper (v1 kernels) or runs a ~54 s/step
+    dispatch anomaly (v2, artifacts/r3/mono_v2_probe.log).
+    `COMA_TRAIN_SPLIT=0` forces the monolithic step."""
     import inspect
     import os
 
-    if os.environ.get("COMA_TRAIN_SPLIT", "0") != "1":
+    if os.environ.get("COMA_TRAIN_SPLIT", "1") == "0":
         return False
     cfg = getattr(model, "config", None)
     if cfg is None or getattr(cfg, "norm", "instance") == "batch":
@@ -230,6 +232,7 @@ def make_split_train_step(
     loss_config: LossConfig,
     donate: bool = True,
     return_grads: bool = False,
+    remat_blocks: Optional[bool] = None,
 ) -> Callable:
     """Train step compiled as FOUR chained XLA programs instead of one:
 
@@ -260,6 +263,23 @@ def make_split_train_step(
     if not loss_config.rnc:
         raise ValueError("make_split_train_step supports the RnC path only")
 
+    # Block-level remat inside the segments only re-buys compute: the
+    # encoder/decoder boundary already acts as the remat cut (enc_bwd
+    # replays the encoder), so per-block remat costs roughly one extra
+    # encoder + decoder forward per step (~70 ms at b=2 128^3) to save
+    # ~2 GB of stored activations that fit HBM comfortably at 128^3.
+    # `remat_blocks`: None -> COMA_SPLIT_REMAT env (default OFF); pass True
+    # for large-volume configs (216^3 template space) where the stored
+    # activations would crowd the 15.75 GB chip.
+    if remat_blocks is None:
+        remat_blocks = os.environ.get("COMA_SPLIT_REMAT", "0") == "1"
+    cfg_model = getattr(model, "config", None)
+    if (not remat_blocks and cfg_model is not None
+            and getattr(cfg_model, "remat", False)):
+        import dataclasses
+
+        model = type(model)(dataclasses.replace(cfg_model, remat=False))
+
     def _enc(params, batch, rng):
         return model.apply(
             {"params": params}, batch["mri"], batch["covars"],
@@ -287,17 +307,46 @@ def make_split_train_step(
         }
         return losses.total, aux
 
-    enc_fwd = jax.jit(_enc)
-    dec_grad = jax.jit(
+    def _compile_retry(fn, tag, tries=3):
+        """First-call compile retries: the remote TPU compile helper's
+        SIGKILL is load-dependent (the same program compiled fine and died
+        an hour apart, r3). Failures surface as JaxRuntimeError BEFORE any
+        buffer donation (donation happens at execution), so retrying the
+        first dispatch is safe; once one call succeeds the wrapper is a
+        passthrough."""
+        state = {"warm": False}
+
+        def call(*args):
+            if state["warm"]:
+                return fn(*args)
+            import time as _time
+
+            last = None
+            for i in range(tries):
+                try:
+                    out = fn(*args)
+                    state["warm"] = True
+                    return out
+                except Exception as e:  # noqa: BLE001
+                    last = e
+                    if i < tries - 1:
+                        _time.sleep(15)
+            raise last
+
+        return call
+
+    enc_fwd = _compile_retry(jax.jit(_enc), "enc_fwd")
+    dec_grad = _compile_retry(jax.jit(
         jax.value_and_grad(_dec_loss, argnums=(0, 1), has_aux=True),
         donate_argnums=(1,) if donate else (),
-    )
+    ), "dec_grad")
 
     def _enc_bwd(params, batch, rng, g_feats):
         _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), params)
         return vjp_fn(g_feats)[0]
 
-    enc_bwd = jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ())
+    enc_bwd = _compile_retry(
+        jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()), "enc_bwd")
 
     def _update(state, g_dec, g_enc):
         grads = jax.tree.map(jnp.add, g_dec, g_enc)
@@ -305,7 +354,9 @@ def make_split_train_step(
         gn = optax_global_norm(grads)
         return new_state, (gn, grads) if return_grads else (gn,)
 
-    update = jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ())
+    update = _compile_retry(
+        jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
+        "update")
 
     def train_step(
         state: TrainState,

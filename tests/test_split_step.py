@@ -139,9 +139,11 @@ def test_split_step_matches_monolithic(split_model_config, rng, monkeypatch):
 
 def test_split_step_gating(split_model_config, monkeypatch):
     model = ContraAttnUNet(split_model_config)
-    # opt-in: monolithic by default until the split step's measured step
-    # time is competitive (see split_step_supported)
+    # default ON (fastest measured training config, see split_step_supported)
     monkeypatch.delenv("COMA_TRAIN_SPLIT", raising=False)
+    assert split_step_supported(model, LossConfig())
+    # kill switch restores the monolithic step
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "0")
     assert not split_step_supported(model, LossConfig())
     monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
     assert split_step_supported(model, LossConfig())
