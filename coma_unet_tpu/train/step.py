@@ -341,22 +341,20 @@ def make_split_train_step(
         donate_argnums=(1,) if donate else (),
     ), "dec_grad")
 
-    def _enc_bwd(params, batch, rng, g_feats):
-        _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), params)
-        return vjp_fn(g_feats)[0]
-
-    enc_bwd = _compile_retry(
-        jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()), "enc_bwd")
-
-    def _update(state, g_dec, g_enc):
+    def _enc_bwd_update(state, batch, rng, g_feats, g_dec):
+        # encoder backward + optimizer update in ONE program: each chained
+        # dispatch through the relay costs ~20 ms, so the 4th program paid
+        # more in dispatch than its 18 ms of work
+        _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
+        g_enc = vjp_fn(g_feats)[0]
         grads = jax.tree.map(jnp.add, g_dec, g_enc)
         new_state = state.apply_gradients(grads)
         gn = optax_global_norm(grads)
         return new_state, (gn, grads) if return_grads else (gn,)
 
-    update = _compile_retry(
-        jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
-        "update")
+    enc_bwd_update = _compile_retry(
+        jax.jit(_enc_bwd_update, donate_argnums=(0, 3, 4) if donate else ()),
+        "enc_bwd_update")
 
     def train_step(
         state: TrainState,
@@ -374,8 +372,7 @@ def make_split_train_step(
         (_, aux), (g_dec, g_feats) = dec_grad(
             state.params, feats, batch, roi_weights, rng, voxel_weights
         )
-        g_enc = enc_bwd(state.params, batch, rng, g_feats)
-        new_state, extra = update(state, g_dec, g_enc)
+        new_state, extra = enc_bwd_update(state, batch, rng, g_feats, g_dec)
         aux = dict(aux)
         aux["grad_norm"] = extra[0]
         if return_grads:
@@ -385,8 +382,8 @@ def make_split_train_step(
     # expose the compiled segments for per-program probing/warming
     # (scripts/train_step_probe.py) — same jitted callables the step chains
     train_step.segments = {
-        "enc_fwd": enc_fwd, "dec_grad": dec_grad, "enc_bwd": enc_bwd,
-        "update": update,
+        "enc_fwd": enc_fwd, "dec_grad": dec_grad,
+        "enc_bwd_update": enc_bwd_update,
     }
     return train_step
 

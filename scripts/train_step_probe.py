@@ -130,10 +130,9 @@ def main():
             "warm dec_grad",
             lambda: segs["dec_grad"](state.params, feats, batch, roi_w, key,
                                      None))
-        g_enc = retry("warm enc_bwd",
-                      lambda: segs["enc_bwd"](state.params, batch, key,
-                                              g_feats))
-        retry("warm update", lambda: segs["update"](state, g_dec, g_enc))
+        retry("warm enc_bwd_update",
+              lambda: segs["enc_bwd_update"](state, batch, key, g_feats,
+                                             g_dec))
 
     t0 = time.time()
     state, aux = retry(
@@ -165,9 +164,8 @@ def main():
             "enc_fwd": lambda: segs["enc_fwd"](state.params, batch, key),
             "dec_grad": lambda: segs["dec_grad"](
                 state.params, feats, batch, roi_w, key, None),
-            "enc_bwd": lambda: segs["enc_bwd"](
-                state.params, batch, key, g_feats),
-            "update": lambda: segs["update"](state, g_dec, g_enc),
+            "enc_bwd_update": lambda: segs["enc_bwd_update"](
+                state, batch, key, g_feats, g_dec),
         }
         for name, call in calls.items():
             fetch(call())  # warm
