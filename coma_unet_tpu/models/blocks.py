@@ -262,13 +262,15 @@ def conv3d(
         wd = x.shape[-1]
         # W > 128 but not lane-aligned (e.g. template-space 216^3): zero-pad
         # W up to the next multiple of 128 — exact for SAME convs (the pad
-        # columns only feed outputs inside the cropped-off pad region), and
-        # ~1.2x padding beats XLA's up-to-15x channel-minor relayout
-        # (measured: two 4.8 GB HLO temps for one bf16[1,16,216^3] chain).
-        # k == 1 only: the padded k=3 Mosaic programs at 216^3 slab sizes
-        # exceed the remote compile helper's budget, and the measured HBM
-        # monsters are the k=1 gate/norm chains.
-        pad = (-wd) % 128 if (wd > 128 and k == 1) else 0
+        # columns only feed outputs inside the cropped-off pad region; for
+        # k=3 the first pad column IS the SAME-pad zero the true right edge
+        # needs), and ~1.2x padding beats XLA's up-to-15x channel-minor
+        # relayout (measured: 4.8 GB HLO temps per bf16[1,{16,32},216^3]
+        # conv, probe_216 OOM dump). k=3 wide slabs are capped at c<=16 by
+        # `pallas_conv3d_supported` (the c=32 Mosaic program crashed the
+        # remote compile helper, r3 g216); the channel-split fallback below
+        # covers c=32 as two 16-channel convs.
+        pad = (-wd) % 128 if wd > 128 else 0
         pshape = x.shape[:-1] + (wd + pad,)
 
         def padded(a):
@@ -279,26 +281,29 @@ def conv3d(
         def cropped(y):
             return y[..., :wd] if pad else y
 
-        if cubic and pallas_conv3d_supported(
-            pshape, k, strides, is_transposed=False, groups=groups
-        ):
-            return cropped(pallas_conv3d(padded(x), kernel, k))
-        if (
-            cubic and groups == 1 and 32 < cin <= 64
-            and pallas_conv3d_supported(
-                (x.shape[0], 32) + pshape[2:], k, strides,
-                is_transposed=False,
-            )
-        ):
-            # conv is linear in the input channels: split wide inputs into
-            # two <=32-channel pallas convs and add (exact) — covers the
-            # 64->32 merge conv at full resolution
-            h = cin // 2
-            xp_ = padded(x)
-            return cropped(
-                pallas_conv3d(xp_[:, :h], kernel[:, :h], k)
-                + pallas_conv3d(xp_[:, h:], kernel[:, h:], k)
-            )
+        if cubic and groups == 1:
+            # conv is linear in the input channels: when the full-width conv
+            # exceeds the gate, split into 2 or 4 channel chunks of pallas
+            # convs and add (exact). parts=2 covers the 64->32 merge conv at
+            # full resolution; parts=4 the 64-channel merges at lane-padded
+            # 216^3, where wide k=3 slabs are capped at 16 channels (the
+            # c=32 Mosaic program crashes the remote compile helper).
+            for parts in (1, 2, 4):
+                if cin % parts:
+                    continue
+                if not pallas_conv3d_supported(
+                    (x.shape[0], cin // parts) + pshape[2:], k, strides,
+                    is_transposed=False,
+                ):
+                    continue
+                ch = cin // parts
+                xp_ = padded(x)
+                out = None
+                for i in range(parts):
+                    y = pallas_conv3d(xp_[:, i * ch:(i + 1) * ch],
+                                      kernel[:, i * ch:(i + 1) * ch], k)
+                    out = y if out is None else out + y
+                return cropped(out)
     # NB: no preferred_element_type override — for bf16 operands the TPU MXU
     # accumulates in f32 natively, and forcing f32 outputs breaks the conv
     # transpose rule under AD (f32 cotangent vs bf16 kernel).

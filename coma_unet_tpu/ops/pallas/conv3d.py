@@ -180,6 +180,13 @@ def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,
         return False
     if c > 32 or b * d <= 4:  # grid too small / channels big enough for XLA
         return False
+    if k == 3 and w > 128 and c > 16:
+        # wide lane-padded slabs (template-space 216 -> 256 lanes): the c=32
+        # k=3 Mosaic program (10.6 MB kd-stacked cat, 9 unrolled shifted
+        # copies) ran the remote compile helper for 35 min and then crashed
+        # it (r3 g216 probe); c <= 16 halves every temporary. Callers split
+        # wider convs into channel halves (models/blocks.py conv3d).
+        return False
     # VMEM: input slabs + accum must fit comfortably. k=1 fetches a single
     # slab per grid step (no D halo) — see `_conv_kernel`.
     vmem = ((3 if k == 3 else 1) * c * h * w * 2) + (h * w * 4 * 32)

@@ -114,3 +114,58 @@ def test_pallas_instance_norm_interpret():
     v = xf.var(axis=(2, 3, 4), keepdims=True)
     want = np.maximum((xf - m) / np.sqrt(v + 1e-5), 0)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_wide_lane_pad_dispatch(monkeypatch):
+    """W > 128 (template-space analogue): conv3d lane-pads into the Pallas
+    path for k=3 (direct at c<=16, channel-split at c=32 — the unsplit wide
+    Mosaic program crashes the compile helper) and stays exact vs XLA."""
+    import coma_unet_tpu.models.blocks as B
+    import coma_unet_tpu.ops.pallas.conv3d as M
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    orig_fwd = M._pallas_conv3d_fwd
+    monkeypatch.setattr(
+        M, "_pallas_conv3d_fwd",
+        lambda x, w, k, interpret=False: orig_fwd(x, w, k, interpret=True),
+    )
+    rng = np.random.default_rng(7)
+    pad3 = B.same_padding((3, 3, 3))
+    for cin in (4, 32):  # direct wide path / channel-split wide path
+        x = jnp.asarray(rng.normal(size=(1, cin, 6, 8, 136)), jnp.float32)
+        w = jnp.asarray(rng.normal(size=(8, cin, 3, 3, 3)) * 0.1, jnp.float32)
+        got = B.conv3d(x, w, (1, 1, 1), pad3, use_pallas=True)
+        ref = _xla_conv(x, w, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+    # the support gate itself: k=3 wide slabs capped at 16 channels
+    assert pallas_conv3d_supported((1, 16, 216, 216, 256), 3, (1, 1, 1), False)
+    assert not pallas_conv3d_supported(
+        (1, 32, 216, 216, 256), 3, (1, 1, 1), False)
+    assert pallas_conv3d_supported((1, 32, 216, 216, 256), 1, (1, 1, 1), False)
+
+
+def test_wide_lane_pad_four_way_split(monkeypatch):
+    """64-channel k=3 at wide W (216^3 merge convs) -> four 16-channel
+    lane-padded pallas convs, exact vs XLA."""
+    import coma_unet_tpu.models.blocks as B
+    import coma_unet_tpu.ops.pallas.conv3d as M
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    orig_fwd = M._pallas_conv3d_fwd
+    calls = []
+    monkeypatch.setattr(
+        M, "_pallas_conv3d_fwd",
+        lambda x, w, k, interpret=False: (
+            calls.append(x.shape), orig_fwd(x, w, k, interpret=True)
+        )[1],
+    )
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 64, 6, 8, 136)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(8, 64, 3, 3, 3)) * 0.1, jnp.float32)
+    got = B.conv3d(x, w, (1, 1, 1), B.same_padding((3, 3, 3)),
+                   use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv(x, w, 3)),
+                               rtol=1e-4, atol=1e-4)
+    # four 16-channel lane-padded kernel invocations, not an XLA fallback
+    assert calls == [(1, 16, 6, 8, 256)] * 4
