@@ -68,7 +68,17 @@ def main():
     args = (variables, batch["mri"], batch["covars"], batch["roi_loc"],
             batch["roi_std"], batch["roi_compact"])
     t0 = time.time()
-    compiled = forward.lower(*args).compile()
+    compiled = None
+    for attempt in range(3):  # the helper's SIGKILL is load-dependent (r3)
+        try:
+            compiled = forward.lower(*args).compile()
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"forward compile attempt {attempt+1} failed: "
+                  f"{str(e)[:200]}", flush=True)
+            time.sleep(20)
+    if compiled is None:
+        raise RuntimeError("forward compile failed 3x")
     print(f"forward compile: {time.time()-t0:.0f}s", flush=True)
     mem_report("forward", compiled)
     t0 = time.time()
@@ -84,25 +94,33 @@ def main():
     print(f"forward (b={b}) 216^3: {ms:.1f} ms ({ms/b:.1f} ms/volume)",
           flush=True)
 
-    # train step (template-space roi_weight=1.0, `validation.py:154`)
+    # train step (template-space roi_weight=1.0, `validation.py:154`) —
+    # segment-compiled (like the production loop at this geometry: smaller
+    # modules for the compile helper) with block remat kept for HBM
     state = create_train_state(
         model, make_optimizer(1e-3), jax.random.PRNGKey(0),
         (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
          batch["roi_compact"]),
         {"train": True}, variables=variables,
     )
-    step = make_train_step(model, LossConfig(roi_weight=1.0), donate=False)
+    from coma_unet_tpu.train.step import (
+        make_split_train_step,
+        split_step_supported,
+    )
+
+    lcfg = LossConfig(roi_weight=1.0)
+    if split_step_supported(model, lcfg):
+        step = make_split_train_step(model, lcfg, donate=False,
+                                     remat_blocks=True)
+        print("train step: segment-compiled (remat on)", flush=True)
+    else:
+        step = make_train_step(model, lcfg, donate=False)
     roi_w = jnp.full((36,), 1.0)
-    t0 = time.time()
-    lowered = step.lower(state, batch, roi_w, jax.random.PRNGKey(1))
-    compiled_step = lowered.compile()
-    print(f"train step compile: {time.time()-t0:.0f}s", flush=True)
-    mem_report("train step", compiled_step)
     t0 = time.time()
     state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
     loss = float(aux["loss"])
-    print(f"train step first run: {time.time()-t0:.1f}s loss={loss:.4f}",
-          flush=True)
+    print(f"train step compile+first run: {time.time()-t0:.1f}s "
+          f"loss={loss:.4f}", flush=True)
     n = 4
     t0 = time.time()
     for i in range(n):
