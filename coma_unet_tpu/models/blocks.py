@@ -218,12 +218,11 @@ def _pallas_disabled() -> set:
     (~35 large kernels/module, measured r2-r3), so train steps must budget
     which families they spend it on. "s1" = the whole stride-1 conv3d
     family; "k1" = only its k=1 (pointwise) instantiations, where XLA's
-    matmul lowering is closest to parity."""
-    import os
+    matmul lowering is closest to parity. Single shared parser (conv3d.py)
+    so dispatch and the VJPs' cross-kernel substitutions always agree."""
+    from coma_unet_tpu.ops.pallas.conv3d import pallas_disabled_families
 
-    return set(
-        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
-    )
+    return pallas_disabled_families()
 
 
 def conv3d(
@@ -449,16 +448,29 @@ def cond_conv3d(
             and strides == (1, 1, 1) and k in (1, 3)
             and kern.shape[-3:] == (k, k, k)
             and _pad_eq(padding, same_padding((k, k, k)))):
-        # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME;
-        # k == 1 only — see conv3d)
+        # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME,
+        # k in {1, 3}; the support gate caps wide k=3 slabs at c<=16 —
+        # channel-chunked like conv3d, conv being linear in input channels)
         wd = x.shape[-1]
-        pad = (-wd) % 128 if (wd > 128 and k == 1) else 0
+        pad = (-wd) % 128 if wd > 128 else 0
         pshape = x.shape[:-1] + (wd + pad,)
-        if pallas_conv3d_supported(pshape, k, strides, is_transposed=False):
-            if pad:
-                xp_ = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-                return pallas_conv3d_b(xp_, kern, k)[..., :wd]
-            return pallas_conv3d_b(x, kern, k)
+        for parts in (1, 2, 4):
+            if cin % parts:
+                continue
+            if not pallas_conv3d_supported(
+                (x.shape[0], cin // parts) + pshape[2:], k, strides,
+                is_transposed=False,
+            ):
+                continue
+            ch = cin // parts
+            xp_ = (jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+                   if pad else x)
+            out = None
+            for i in range(parts):
+                y = pallas_conv3d_b(xp_[:, i * ch:(i + 1) * ch],
+                                    kern[:, :, i * ch:(i + 1) * ch], k)
+                out = y if out is None else out + y
+            return out[..., :wd] if pad else out
     return None
 
 

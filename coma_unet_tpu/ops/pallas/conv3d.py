@@ -161,6 +161,19 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
     return out
 
 
+def pallas_disabled_families() -> set:
+    """Trace-time kill switches (COMA_PALLAS_DISABLE="t2,s2,packed,s1,k1"):
+    a disabled family contributes NO Mosaic program anywhere — dispatch
+    (models/blocks.py) AND the custom VJPs' cross-kernel substitutions
+    (conv3d_strided.py) both consult this single parser, so they can never
+    disagree about which families are live."""
+    import os
+
+    return set(
+        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
+    )
+
+
 def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,
                             groups: int = 1) -> bool:
     """Conservative gate for when the Pallas path wins over XLA."""

@@ -893,15 +893,13 @@ def _dw_dil(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
 
 
 def _disabled() -> set:
-    """COMA_PALLAS_DISABLE families (trace-time): lets a VJP swap its
-    cross-kernel (s2<->t2) dx for the XLA fallback so a disabled family
-    contributes NO Mosaic program anywhere — the remote compile helper
-    OOMs on too many large kernels in one module (see models/blocks.py)."""
-    import os
+    """COMA_PALLAS_DISABLE families: lets a VJP swap its cross-kernel
+    (s2<->t2) dx for the XLA fallback so a disabled family contributes NO
+    Mosaic program anywhere. Single shared parser (conv3d.py) so dispatch
+    and VJP substitution can never disagree."""
+    from coma_unet_tpu.ops.pallas.conv3d import pallas_disabled_families
 
-    return set(
-        filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
-    )
+    return pallas_disabled_families()
 
 
 def _xla_t2_fallback(gp: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

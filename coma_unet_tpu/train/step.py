@@ -307,13 +307,24 @@ def make_split_train_step(
         }
         return losses.total, aux
 
+    def _retryable(e) -> bool:
+        # ONLY transient compile/transport failures: these surface before
+        # execution, so no donated buffer has been consumed yet. Runtime
+        # failures (post-donation) and deterministic trace errors re-raise
+        # immediately — retrying them would burn minutes-long remote
+        # compiles and mask the real error with 'Array has been deleted'.
+        msg = str(e)
+        return any(s in msg for s in (
+            "remote_compile", "SIGKILL", "Connection", "UNAVAILABLE",
+            "compile helper", "tpu_compile_helper",
+        ))
+
     def _compile_retry(fn, tag, tries=3):
         """First-call compile retries: the remote TPU compile helper's
         SIGKILL is load-dependent (the same program compiled fine and died
-        an hour apart, r3). Failures surface as JaxRuntimeError BEFORE any
-        buffer donation (donation happens at execution), so retrying the
-        first dispatch is safe; once one call succeeds the wrapper is a
-        passthrough."""
+        an hour apart, r3). Only errors matching `_retryable` (compile-time
+        transport/helper failures, which surface BEFORE buffer donation)
+        are retried; once one call succeeds the wrapper is a passthrough."""
         state = {"warm": False}
 
         def call(*args):
@@ -321,17 +332,15 @@ def make_split_train_step(
                 return fn(*args)
             import time as _time
 
-            last = None
             for i in range(tries):
                 try:
                     out = fn(*args)
                     state["warm"] = True
                     return out
                 except Exception as e:  # noqa: BLE001
-                    last = e
-                    if i < tries - 1:
-                        _time.sleep(15)
-            raise last
+                    if i == tries - 1 or not _retryable(e):
+                        raise
+                    _time.sleep(15)
 
         return call
 

@@ -149,3 +149,36 @@ def test_flagship_odd_template_geometry():
     assert np.isfinite(np.asarray(out.out)).all()
     sizes = [f.shape[-1] for f in out.encoder]
     assert sizes == [28, 14, 7, 4, 2]
+
+
+def test_dynamic_prompt_initializer_pinned():
+    """__graft_entry__.init_on_cpu's small-spatial fast path re-draws the
+    `*_dynamic_prompt` leaves with N(0, 1) at the true prompt shape; pin
+    contra.py's initializer (normal(1.0)) here so a future change to the
+    modulator's prompt init breaks THIS test instead of silently training
+    bench/entry-point models from params that differ from model.init."""
+    import jax
+
+    from coma_unet_tpu.config import ModelConfig
+    from coma_unet_tpu.models import ContraAttnUNet
+
+    cfg = ModelConfig(
+        channels=(2, 4, 8), strides=(2, 2, 2), latent_spaces=(8, 8, 8),
+        prompt_shape=(32, 32, 32), num_experts=2, compute_dtype="float32",
+    )
+    model = ContraAttnUNet(cfg)
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 1, 32, 32, 32)), jnp.float32)
+    cov = jnp.asarray(rng.normal(size=(1, 3)), jnp.float32)
+    loc = jnp.asarray(rng.normal(size=(1, 36)), jnp.float32)
+    compact = jnp.zeros((1, 32, 32, 32), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, cov, loc, loc, compact,
+                        train=False)["params"]
+    for name in ("pos_dynamic_prompt", "neg_dynamic_prompt",
+                 "general_dynamic_prompt"):
+        leaf = np.asarray(params[name], np.float32).ravel()
+        assert leaf.shape[0] == 32 ** 3
+        assert abs(float(leaf.mean())) < 0.05, name
+        assert abs(float(leaf.std()) - 1.0) < 0.05, name

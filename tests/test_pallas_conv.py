@@ -169,3 +169,35 @@ def test_wide_lane_pad_four_way_split(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     # four 16-channel lane-padded kernel invocations, not an XLA fallback
     assert calls == [(1, 16, 6, 8, 256)] * 4
+
+
+def test_cond_conv_wide_lane_pad(monkeypatch):
+    """Per-sample (CondConv) k=3 convs at wide W lane-pad + channel-chunk
+    through the batched kernel, exact vs per-sample XLA."""
+    import coma_unet_tpu.models.blocks as B
+    import coma_unet_tpu.ops.pallas.conv3d as M
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    orig_fwd = M._pallas_conv3d_fwd
+    calls = []
+    monkeypatch.setattr(
+        M, "_pallas_conv3d_fwd",
+        lambda x, w, k, interpret=False: (
+            calls.append(x.shape), orig_fwd(x, w, k, interpret=True)
+        )[1],
+    )
+    rng = np.random.default_rng(9)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, 32, 6, 8, 136)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(b, 8, 32, 3, 3, 3)) * 0.1,
+                       jnp.float32)
+    got = B.cond_conv3d(x, kern, (1, 1, 1), None, True, False, False,
+                        padding=B.same_padding((3, 3, 3)))
+    assert got is not None
+    ref = jnp.concatenate([
+        _xla_conv(x[i:i + 1], kern[i], 3) for i in range(b)
+    ])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # two 16-channel chunks through the batched kernel (per-sample weights)
+    assert calls == [(b, 16, 6, 8, 256)] * 2
