@@ -213,6 +213,148 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
+                                  donate: bool = True,
+                                  return_grads: bool = False,
+                                  remat_blocks=None):
+    """DP composition of `train.step.make_split_train_step`: the three
+    chained programs (encoder fwd / decoder grad / encoder bwd + update)
+    each wrap a `shard_map` over the 'data' axis, so multi-chip training
+    runs the FULL packed/strided Pallas family — the monolithic sharded
+    step must trace the packed-off variant for the same compile-budget
+    reason as the single-device one (each per-device fwd+bwd module carries
+    every Mosaic kernel). Collective accounting matches
+    `make_sharded_train_step` exactly: the RnC term ranks all-gathered
+    projections scaled 1/n_shards, decoder grads psum in program 2, encoder
+    grads psum in program 3, and psum(local objectives) reproduces the
+    single-device total loss. Flagship RnC path, no BatchNorm
+    (`split_step_supported` gates callers)."""
+    from coma_unet_tpu.losses.contrastive import rnc_loss
+    from coma_unet_tpu.losses.roi_losses import roi_mse
+    from coma_unet_tpu.train.step import (
+        _compile_retry,
+        optax_global_norm,
+        train_remat_variant,
+    )
+
+    cfg = loss_config
+    if not cfg.rnc:
+        raise ValueError("sharded split step supports the RnC path only")
+    model = train_remat_variant(model, remat_blocks)
+    n_shards = mesh.shape["data"]
+
+    def enc_local(params, batch, rng):
+        return model.apply(
+            {"params": params}, batch["mri"], batch["covars"],
+            train=True, rngs={"dropout": rng}, stage="encoder",
+        )
+
+    def _shard(fn, in_specs, out_specs):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+
+    def _enc_fwd(params, batch, rng):
+        return _shard(
+            enc_local,
+            (P(), _batch_specs(batch), P()),
+            P("data"),
+        )(params, batch, rng)
+
+    def dec_local(params, feats, batch, roi_weights, rng, voxel_weights):
+        gather = lambda t: jax.lax.all_gather(t, "data", axis=0, tiled=True)  # noqa: E731
+        valid = batch.get("valid_mask")
+
+        def loss_fn(p, f):
+            outs = model.apply(
+                {"params": p}, batch["mri"], batch["covars"],
+                batch.get("roi_loc"), batch.get("roi_std"),
+                batch.get("roi_compact"), train=True, with_projections=True,
+                rngs={"dropout": rng}, stage="decoder", encoder_feats=f,
+            )
+            gen = roi_mse(outs.out, batch["tau"], batch["roi_compact"],
+                          roi_weights, voxel_weights=voxel_weights,
+                          reduction=None)
+            vsum = (gen if valid is None
+                    else gen * valid.reshape(-1).astype(gen.dtype))
+            obj = cfg.gen_weight * jnp.sum(vsum)
+            gvalid = gather(valid) if valid is not None else None
+            tcds_full = cfg.ds_reg_weight * rnc_loss(
+                gather(outs.projections[-1]), gather(batch["covars"]),
+                cfg.rnc_temperature, valid=gvalid,
+            )
+            # 1/n_shards: every shard computes the identical coupled value,
+            # so psum(grads) counts its gradient exactly once (see
+            # make_sharded_train_step's accounting note)
+            obj = obj + tcds_full / n_shards
+            return obj, (gen, tcds_full)
+
+        (obj, (gen, tcds_full)), (g_dec, g_feats) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, feats)
+        aux = {
+            "loss": jax.lax.psum(jax.lax.stop_gradient(obj), "data"),
+            "gen_loss": jax.lax.all_gather(gen, "data", axis=0, tiled=True),
+            "tcds_loss": jax.lax.stop_gradient(tcds_full),
+            "pred_space_loss": jnp.asarray(0.0, jnp.float32),
+        }
+        return aux, jax.lax.psum(g_dec, "data"), g_feats
+
+    def _dec_grad(params, feats, batch, roi_weights, rng, voxel_weights):
+        return _shard(
+            dec_local,
+            (P(), P("data"), _batch_specs(batch), P(), P(), P()),
+            (P(), P(), P("data")),
+        )(params, feats, batch, roi_weights, rng, voxel_weights)
+
+    def ebu_local(state, batch, rng, g_feats, g_dec):
+        _, vjp_fn = jax.vjp(lambda p: enc_local(p, batch, rng), state.params)
+        g_enc = vjp_fn(g_feats)[0]
+        grads = jax.tree.map(
+            jnp.add, jax.lax.psum(g_enc, "data"), g_dec
+        )
+        new_state = state.apply_gradients(grads)
+        gn = optax_global_norm(grads)
+        return new_state, (gn, grads) if return_grads else (gn,)
+
+    def _ebu(state, batch, rng, g_feats, g_dec):
+        return _shard(
+            ebu_local,
+            (P(), _batch_specs(batch), P(), P("data"), P()),
+            (P(), P()),
+        )(state, batch, rng, g_feats, g_dec)
+
+    enc_fwd = _compile_retry(jax.jit(_enc_fwd), "sharded_enc_fwd")
+    dec_grad = _compile_retry(
+        jax.jit(_dec_grad, donate_argnums=(1,) if donate else ()),
+        "sharded_dec_grad")
+    enc_bwd_update = _compile_retry(
+        jax.jit(_ebu, donate_argnums=(0, 3, 4) if donate else ()),
+        "sharded_enc_bwd_update")
+
+    def train_step(state, batch, roi_weights, rng, voxel_weights=None):
+        if state.batch_stats:
+            raise ValueError(
+                "sharded split step does not thread batch_stats; use "
+                "norm='instance' or make_sharded_train_step"
+            )
+        feats = enc_fwd(state.params, batch, rng)
+        aux, g_dec, g_feats = dec_grad(
+            state.params, feats, batch, roi_weights, rng, voxel_weights
+        )
+        new_state, extra = enc_bwd_update(state, batch, rng, g_feats, g_dec)
+        aux = dict(aux)
+        aux["grad_norm"] = extra[0]
+        if return_grads:
+            aux["grads"] = extra[1]
+        return new_state, aux
+
+    train_step.segments = {
+        "enc_fwd": enc_fwd, "dec_grad": dec_grad,
+        "enc_bwd_update": enc_bwd_update,
+    }
+    return train_step
+
+
 def make_spatial_infer_fn(model, mesh: Mesh):
     """GSPMD full-volume inference with the depth dim sharded over the whole
     mesh (both axes). Use batch=1 per call; XLA partitions the convs with

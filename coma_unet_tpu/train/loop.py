@@ -169,12 +169,27 @@ def train(
 
     if mesh is not None:
         from coma_unet_tpu.parallel.mesh import (
-            make_sharded_eval_step, make_sharded_train_step, replicate_state,
+            make_sharded_eval_step,
+            make_sharded_split_train_step,
+            make_sharded_train_step,
+            replicate_state,
         )
 
         state = replicate_state(state, mesh)
         if train_step is None:
-            train_step = make_sharded_train_step(model, lcfg, mesh, donate=True)
+            if split_step_supported(model, lcfg):
+                # segmented DP step: the full packed Pallas family
+                # multi-chip (the monolithic per-device fwd+bwd module hits
+                # the same compile budget as single-device)
+                big = max(config.data.volume_shape) > 128
+                train_step = make_sharded_split_train_step(
+                    model, lcfg, mesh, donate=True,
+                    remat_blocks=True if big else None,
+                )
+                log.info("using sharded segment-compiled train step")
+            else:
+                train_step = make_sharded_train_step(
+                    model, lcfg, mesh, donate=True)
         if eval_step is None:
             eval_step = make_sharded_eval_step(model, mesh, num_rois)
     if train_step is None:

@@ -197,6 +197,64 @@ def make_train_step(
     return train_step
 
 
+def _retryable(e) -> bool:
+    """ONLY transient compile/transport failures: these surface before
+    execution, so no donated buffer has been consumed yet. Runtime failures
+    (post-donation) and deterministic trace errors re-raise immediately —
+    retrying them would burn minutes-long remote compiles and mask the real
+    error with 'Array has been deleted'."""
+    msg = str(e)
+    return any(s in msg for s in (
+        "remote_compile", "SIGKILL", "Connection", "UNAVAILABLE",
+        "compile helper", "tpu_compile_helper",
+    ))
+
+
+def _compile_retry(fn, tag, tries=3):
+    """First-call compile retries: the remote TPU compile helper's SIGKILL
+    is load-dependent (the same program compiled fine and died an hour
+    apart, r3). Only errors matching `_retryable` (compile-time
+    transport/helper failures, which surface BEFORE buffer donation) are
+    retried; once one call succeeds the wrapper is a passthrough."""
+    state = {"warm": False}
+
+    def call(*args):
+        if state["warm"]:
+            return fn(*args)
+        import time as _time
+
+        for i in range(tries):
+            try:
+                out = fn(*args)
+                state["warm"] = True
+                return out
+            except Exception as e:  # noqa: BLE001
+                if i == tries - 1 or not _retryable(e):
+                    raise
+                _time.sleep(15)
+
+    return call
+
+
+def train_remat_variant(model, remat_blocks: Optional[bool]):
+    """Resolve the split-step block-remat policy and return the model to
+    trace: inside a segmented step the encoder/decoder boundary already
+    acts as the remat cut, so block-level remat (default OFF,
+    COMA_SPLIT_REMAT=1 keeps it) only re-buys compute at 128^3; pass
+    remat_blocks=True for large-volume configs."""
+    import os
+
+    if remat_blocks is None:
+        remat_blocks = os.environ.get("COMA_SPLIT_REMAT", "0") == "1"
+    cfg_model = getattr(model, "config", None)
+    if (not remat_blocks and cfg_model is not None
+            and getattr(cfg_model, "remat", False)):
+        import dataclasses
+
+        model = type(model)(dataclasses.replace(cfg_model, remat=False))
+    return model
+
+
 def split_step_supported(model, loss_config: LossConfig) -> bool:
     """Whether `make_split_train_step` can serve this model/loss combo: the
     flagship single-forward (RnC) path on a stage-aware model with no
@@ -257,28 +315,14 @@ def make_split_train_step(
     Flagship path only (see `split_step_supported`): single forward (RnC),
     no BatchNorm. Reference workload: `attn_unet_data_parallel.py:779-910`.
     """
-    import os
-
     criterion = GenerativeContrastiveLoss(loss_config)
     if not loss_config.rnc:
         raise ValueError("make_split_train_step supports the RnC path only")
 
-    # Block-level remat inside the segments only re-buys compute: the
-    # encoder/decoder boundary already acts as the remat cut (enc_bwd
-    # replays the encoder), so per-block remat costs roughly one extra
-    # encoder + decoder forward per step (~70 ms at b=2 128^3) to save
-    # ~2 GB of stored activations that fit HBM comfortably at 128^3.
-    # `remat_blocks`: None -> COMA_SPLIT_REMAT env (default OFF); pass True
-    # for large-volume configs (216^3 template space) where the stored
-    # activations would crowd the 15.75 GB chip.
-    if remat_blocks is None:
-        remat_blocks = os.environ.get("COMA_SPLIT_REMAT", "0") == "1"
-    cfg_model = getattr(model, "config", None)
-    if (not remat_blocks and cfg_model is not None
-            and getattr(cfg_model, "remat", False)):
-        import dataclasses
-
-        model = type(model)(dataclasses.replace(cfg_model, remat=False))
+    # Block-level remat inside the segments only re-buys compute (~70 ms at
+    # b=2 128^3) for ~2 GB of activations that fit HBM comfortably — see
+    # `train_remat_variant` (large-volume configs pass remat_blocks=True).
+    model = train_remat_variant(model, remat_blocks)
 
     def _enc(params, batch, rng):
         return model.apply(
@@ -306,43 +350,6 @@ def make_split_train_step(
             "tcds_loss": losses.tcds,
         }
         return losses.total, aux
-
-    def _retryable(e) -> bool:
-        # ONLY transient compile/transport failures: these surface before
-        # execution, so no donated buffer has been consumed yet. Runtime
-        # failures (post-donation) and deterministic trace errors re-raise
-        # immediately — retrying them would burn minutes-long remote
-        # compiles and mask the real error with 'Array has been deleted'.
-        msg = str(e)
-        return any(s in msg for s in (
-            "remote_compile", "SIGKILL", "Connection", "UNAVAILABLE",
-            "compile helper", "tpu_compile_helper",
-        ))
-
-    def _compile_retry(fn, tag, tries=3):
-        """First-call compile retries: the remote TPU compile helper's
-        SIGKILL is load-dependent (the same program compiled fine and died
-        an hour apart, r3). Only errors matching `_retryable` (compile-time
-        transport/helper failures, which surface BEFORE buffer donation)
-        are retried; once one call succeeds the wrapper is a passthrough."""
-        state = {"warm": False}
-
-        def call(*args):
-            if state["warm"]:
-                return fn(*args)
-            import time as _time
-
-            for i in range(tries):
-                try:
-                    out = fn(*args)
-                    state["warm"] = True
-                    return out
-                except Exception as e:  # noqa: BLE001
-                    if i == tries - 1 or not _retryable(e):
-                        raise
-                    _time.sleep(15)
-
-        return call
 
     enc_fwd = _compile_retry(jax.jit(_enc), "enc_fwd")
     dec_grad = _compile_retry(jax.jit(

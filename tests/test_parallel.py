@@ -218,3 +218,50 @@ def test_dp_reg_weight_and_valid_mask_match_single_device(
         np.testing.assert_allclose(
             a, b, rtol=1e-3, atol=1e-4 * (1.0 + float(np.abs(b).max()))
         )
+
+
+def test_sharded_split_step_matches_single_device(tiny_model_config, rng,
+                                                  monkeypatch):
+    """The segmented DP step (3 shard_map programs — the multi-chip packed-
+    family path) == the single-device split step on the full batch: loss,
+    psum'd grads, and updated params."""
+    from coma_unet_tpu.parallel.mesh import make_sharded_split_train_step
+    from coma_unet_tpu.train.step import (
+        make_split_train_step,
+        split_step_supported,
+    )
+
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    batch = make_batch(rng, b=8)
+    model = ContraAttnUNet(tiny_model_config)
+    assert split_step_supported(model, LossConfig())
+    state = create_train_state(
+        model, make_optimizer(1e-3), rng,
+        (batch["mri"], batch["covars"], batch["roi_loc"], batch["roi_std"],
+         batch["roi_compact"]),
+        {"train": True},
+    )
+    roi_w = jnp.full((36,), 225.0)
+
+    single = make_split_train_step(model, LossConfig(), donate=False,
+                                   return_grads=True)
+    s1, aux1 = single(state, batch, roi_w, rng)
+
+    mesh = make_mesh(data=8, spatial=1)
+    sharded = make_sharded_split_train_step(
+        model, LossConfig(), mesh, donate=False, return_grads=True)
+    s2, aux2 = sharded(replicate_state(state, mesh),
+                       shard_batch(batch, mesh), roi_w, rng)
+
+    np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux1["gen_loss"]),
+                               np.asarray(aux2["gen_loss"]), rtol=1e-4)
+    g1, g2 = jax.tree.leaves(aux1["grads"]), jax.tree.leaves(aux2["grads"])
+    assert len(g1) == len(g2) and len(g1) > 0
+    # same tolerance rationale as test_dp_train_step_matches_single_device
+    for a, b in zip(g1, g2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=1e-4 * (1.0 + float(np.abs(b).max()))
+        )
