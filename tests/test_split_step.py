@@ -154,3 +154,26 @@ def test_split_step_gating(split_model_config, monkeypatch):
 
     cfg = dataclasses.replace(split_model_config, packed_level=False)
     assert not split_step_supported(ContraAttnUNet(cfg), LossConfig())
+
+
+def test_split_step_remat_variant_matches(split_model_config, rng,
+                                          monkeypatch):
+    """remat_blocks=True (the large-volume/216^3 path) produces the same
+    loss/grads as the default remat-free segments — remat changes the
+    recompute schedule, never the math."""
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    model = ContraAttnUNet(split_model_config)
+    lcfg = LossConfig()
+    batch = make_batch(rng)
+    roi_w = jnp.full((36,), 225.0)
+    step_rng = jax.random.PRNGKey(5)
+    s_off = make_split_train_step(model, lcfg, donate=False,
+                                  remat_blocks=False)
+    s_on = make_split_train_step(model, lcfg, donate=False,
+                                 remat_blocks=True)
+    _, aux_off = s_off(_state(model, batch), batch, roi_w, step_rng)
+    _, aux_on = s_on(_state(model, batch), batch, roi_w, step_rng)
+    np.testing.assert_allclose(aux_on["loss"], aux_off["loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(aux_on["grad_norm"], aux_off["grad_norm"],
+                               rtol=1e-4, atol=1e-6)
