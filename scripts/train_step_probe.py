@@ -94,7 +94,7 @@ def main():
     )
     lcfg = LossConfig()
     if split_step_supported(model, lcfg):
-        # segment-compiled step (4 chained XLA programs): the full Pallas
+        # segment-compiled step (3 chained XLA programs): the full Pallas
         # family in training without blowing the compile helper's budget
         print("using make_split_train_step (COMA_TRAIN_SPLIT=0 disables)",
               flush=True)
