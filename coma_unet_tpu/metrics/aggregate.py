@@ -28,6 +28,8 @@ class MetricResults:
     roi_wrrmses: np.ndarray
     roi_correlations: np.ndarray
     num_samples: int
+    # defaulted so `as_tuple` keeps the reference's 10-tuple ordering
+    psnr: float = 0.0
 
     def as_tuple(self):
         """The reference's 10-tuple ordering (`:1351-1359`)."""
@@ -47,6 +49,7 @@ class _Split:
         self.rse = 0.0
         self.rrmse = 0.0
         self.ssim = 0.0
+        self.psnr = 0.0
         self.roi_mae = np.zeros(num_rois)
         self.roi_mape_num = np.zeros(num_rois)
         self.roi_mape_cnt = np.zeros(num_rois)
@@ -67,6 +70,8 @@ class _Split:
         self.rrmse += float(np.nansum(vox["rrmse"][sel]))
         if "ssim" in vox:
             self.ssim += float(vox["ssim"][sel].sum())
+        if "psnr" in vox:
+            self.psnr += float(vox["psnr"][sel].sum())
         self.roi_mae += roi["mae"][sel].sum(axis=0)
         self.roi_mape_num += roi["mape_num"][sel].sum(axis=0)
         self.roi_mape_cnt += roi["mape_cnt"][sel].sum(axis=0)
@@ -92,6 +97,7 @@ class _Split:
             rse=self.rse / n,
             rrmse=self.rrmse / n,
             ssim=self.ssim / n,
+            psnr=self.psnr / n,
             roi_maes=self.roi_mae / n,
             roi_mapes=100.0 * self.roi_mape_num / np.maximum(self.roi_mape_cnt, 1.0),
             roi_rses=self.roi_rse / n,

@@ -62,12 +62,20 @@ def voxel_metrics(
         / jnp.sum(jnp.square(flat_gt), axis=-1)
     )
 
+    # PSNR (BASELINE.md quality-parity target: SSIM/PSNR within +-0.001):
+    # 10*log10(range^2 / MSE), per sample, eps-floored against exact matches
+    mse = jnp.mean(jnp.square(flat_diff), axis=-1)
+    psnr = 10.0 * jnp.log10(
+        jnp.square(data_range) / jnp.maximum(mse, 1e-12)
+    )
+
     out = {
         "mae": mae,
         "mape_num": mape_num,
         "mape_cnt": mape_cnt,
         "rse": rse,
         "rrmse": rrmse,
+        "psnr": psnr,
         "abs_rel_vol": rel.reshape(gt.shape) ,
     }
     if with_ssim:

@@ -34,7 +34,7 @@ class MetricRecorder:
         self.dir = os.path.join(save_path, "validation_metric_results")
         os.makedirs(self.dir, exist_ok=True)
         self.history: Dict[str, List] = {k: [] for k in (
-            "mae", "mape", "rse", "rrmse", "ssim", "avg_corr",
+            "mae", "mape", "rse", "rrmse", "ssim", "psnr", "avg_corr",
             "roi_maes", "roi_mapes", "roi_rses", "roi_wrrmses", "roi_corrs",
         )}
         self.epochs: List[int] = []
@@ -60,6 +60,7 @@ class MetricRecorder:
         h["rse"].append(results.rse)
         h["rrmse"].append(results.rrmse)
         h["ssim"].append(results.ssim)
+        h["psnr"].append(results.psnr)
         h["avg_corr"].append(avg_corr)
         h["roi_maes"].append(results.roi_maes)
         h["roi_mapes"].append(results.roi_mapes)
@@ -86,6 +87,7 @@ class MetricRecorder:
             ("rse", "Relative Squared Error", "RSE"),
             ("rrmse", "RRMSE", "RRMSE"),
             ("ssim", "SSIM", "SSIM"),
+            ("psnr", "PSNR", "PSNR"),
             ("avg_corr", "Averaged ROI Corr Mean", "Average ROI Corr Mean"),
         ):
             metric_graph(

@@ -64,3 +64,19 @@ def test_ssim_gaussian_variant_runs():
     s = float(ssim3d(jnp.asarray(v), jnp.asarray(v), kernel="gaussian",
                      win_size=11, kernel_sigma=1.5))
     assert s == pytest.approx(1.0, abs=1e-5)
+
+
+def test_psnr_parity_with_reference_formula():
+    """PSNR (BASELINE.md: parity within +-0.001) vs a numpy oracle."""
+    import numpy as np
+
+    from coma_unet_tpu.metrics.voxel import voxel_metrics
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0, 1, (2, 1, 8, 8, 8)).astype(np.float32)
+    pred = gt + rng.normal(0, 0.05, gt.shape).astype(np.float32)
+    vox = voxel_metrics(jnp.asarray(pred), jnp.asarray(gt), with_ssim=False)
+    for i in range(2):
+        mse = float(np.mean((pred[i] - gt[i]) ** 2))
+        want = 10.0 * np.log10(1.0 / mse)
+        np.testing.assert_allclose(float(vox["psnr"][i]), want, atol=1e-3)
