@@ -280,6 +280,37 @@ def conv3d(
         def cropped(y):
             return y[..., :wd] if pad else y
 
+        if (k == 3 and cubic and strides == (2, 2, 2) and groups == 1
+                and wd > 128 and wd % 2 == 0 and x.shape[-2] % 2 == 0
+                and x.shape[2] % 4 == 0 and _on_tpu()
+                and "s2" not in disabled
+                and __import__("os").environ.get("COMA_WIDE_S2") == "1"):
+            # stride-2 at lane-padded wide W (template-space 216^3): the
+            # packed-emitting s2 kernel, chunked to <=16-channel wide slabs
+            # (same compile-budget cap as the stride-1 wide k=3 path); its
+            # VJP takes the XLA fallback for dx at wide shapes (the wide t2
+            # Mosaic program is the compile-helper crash class). Exact: taps
+            # never read beyond the true width for even W, and the unpacked
+            # output is cropped to the true half-width. OPT-IN until probed
+            # on hardware (COMA_WIDE_S2=1) — the XLA fallback fits HBM at
+            # 216^3 once the stride-1 convs are off XLA's relayout path.
+            from coma_unet_tpu.ops.pallas.conv3d_strided import (
+                pallas_conv3d_s2,
+                unpack_w,
+            )
+
+            for parts in (1, 2):
+                ch = cin // parts
+                if cin % parts or ch > 16:
+                    continue
+                xp_ = padded(x)
+                out = None
+                for i in range(parts):
+                    y = pallas_conv3d_s2(xp_[:, i * ch:(i + 1) * ch],
+                                         kernel[:, i * ch:(i + 1) * ch])
+                    out = y if out is None else out + y
+                return unpack_w(out)[..., : wd // 2]
+
         if cubic and groups == 1:
             # conv is linear in the input channels: when the full-width conv
             # exceeds the gate, split into 2 or 4 channel chunks of pallas

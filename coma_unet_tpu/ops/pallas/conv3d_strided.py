@@ -965,7 +965,12 @@ def _s2_vjp_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
     w_t = _flip_t(w).astype(w.dtype)
-    dx = (_xla_t2_fallback(g, w_t) if "t2" in _disabled()
+    # wide (lane-padded template-space) cotangents: the t2 kernel's wide
+    # Mosaic program is the compile-helper crash class (g216 probe) — take
+    # the XLA lhs-dilated fallback for dx there; dw's phase-split program
+    # stays small at any width.
+    wide = g.shape[-1] > 128
+    dx = (_xla_t2_fallback(g, w_t) if wide or "t2" in _disabled()
           else _t2_fwd(g, w_t))
     dw = _dw_dil(x, g)  # [27, Cout, Cin]
     cout, cin = w.shape[0], w.shape[1]
