@@ -32,6 +32,7 @@ stride-1 small-channel convs route through the Pallas direct-conv kernel
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
@@ -284,7 +285,7 @@ def conv3d(
                 and wd > 128 and wd % 2 == 0 and x.shape[-2] % 2 == 0
                 and x.shape[2] % 4 == 0 and _on_tpu()
                 and "s2" not in disabled
-                and __import__("os").environ.get("COMA_WIDE_S2") == "1"):
+                and os.environ.get("COMA_WIDE_S2") == "1"):
             # stride-2 at lane-padded wide W (template-space 216^3): the
             # packed-emitting s2 kernel, chunked to <=16-channel wide slabs
             # (same compile-budget cap as the stride-1 wide k=3 path); its

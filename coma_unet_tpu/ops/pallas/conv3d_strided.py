@@ -1028,7 +1028,8 @@ def _s2_b_vjp_bwd(res, g):
     x, w = res
     g = g.astype(x.dtype)
     w_t = _flip_t_b(w).astype(w.dtype)
-    dx = (_xla_t2_fallback(g, w_t) if "t2" in _disabled()
+    wide = g.shape[-1] > 128  # see _s2_vjp_bwd
+    dx = (_xla_t2_fallback(g, w_t) if wide or "t2" in _disabled()
           else _t2_fwd(g, w_t))
     dw = _dw_dil(x, g, batched=True)  # [B, 27, Cout, Cin]
     b, cout, cin = w.shape[0], w.shape[1], w.shape[2]
