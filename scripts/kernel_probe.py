@@ -151,6 +151,16 @@ def main(fams):
         timeit("s1 32ch fwd+bwd XLA",
                grad_fn(lambda x_, w_: xla_conv(
                    x_, w_, (1, 1, 1), same_padding((3, 3, 3)))), x, w)
+        # k=1 single-slab fetch (r3: no dead 3-slab D halo) — the gate /
+        # projection / modulator pointwise convs
+        x1 = mk((2, 16, 128, 128, 128))
+        w1 = mk((16, 16, 1, 1, 1))
+        op1 = lambda x_, w_: pallas_conv3d(x_, w_, 1)  # noqa: E731
+        timeit("k1 16ch 128^3 fwd pallas (single-slab)", op1, x1, w1)
+        timeit("k1 16ch 128^3 fwd XLA",
+               lambda x_, w_: xla_conv(x_, w_, (1, 1, 1), [(0, 0)] * 3),
+               x1, w1)
+        timeit("k1 16ch fwd+bwd pallas", grad_fn(op1), x1, w1)
 
     if "g216" in fams:
         # Template-space 216^3 shapes (PROBE_216): the direct-216^3 forward
