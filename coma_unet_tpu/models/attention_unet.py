@@ -214,16 +214,22 @@ class AttentionUNet(nn.Module):
 
         # ---- 1x1 reduce conv (ref :296-306): conv_only, full 6 covars ----
         if cfg.conditional:
+            # use_pallas matters here despite the tiny FLOP count: the XLA
+            # lowering of the 32->1 conv picks a channel-minor layout whose
+            # relayout copies dominate HBM at 216^3 (2x 4.8 GB temps — 8x
+            # padded input copy + 256x padded output, probe_216 OOM dump)
             out = CondReduce(
                 out_channels=cfg.out_channels, kernel_size=1, strides=1,
                 conv_only=True, num_experts=cfg.num_experts,
                 num_covars=cfg.num_covars, film=cfg.film, dtype=dtype,
+                use_pallas=cfg.pallas_convs,
                 param_dtype=pdtype, name="reduce",
             )(d, cov_full, train)
         else:
             out = Merge(
                 out_channels=cfg.out_channels, kernel_size=1, strides=1,
-                conv_only=True, dtype=dtype, param_dtype=pdtype, name="reduce",
+                conv_only=True, dtype=dtype, param_dtype=pdtype,
+                use_pallas=cfg.pallas_convs, name="reduce",
             )(d, train)
 
         return UNetFeatures(

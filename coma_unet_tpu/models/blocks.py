@@ -213,14 +213,17 @@ def _pad_eq(padding, expected) -> bool:
 
 
 def _pallas_disabled() -> set:
-    """Trace-time kill switches (COMA_PALLAS_DISABLE="t2,s2,packed,s1,k1"):
+    """Trace-time kill switches (COMA_PALLAS_DISABLE="t2,s2,packed,s1,k1,k3"):
     each named family contributes NO Mosaic program anywhere in the traced
     module — the remote compile helper OOMs past a cumulative Mosaic budget
     (~35 large kernels/module, measured r2-r3), so train steps must budget
     which families they spend it on. "s1" = the whole stride-1 conv3d
-    family; "k1" = only its k=1 (pointwise) instantiations, where XLA's
-    matmul lowering is closest to parity. Single shared parser (conv3d.py)
-    so dispatch and the VJPs' cross-kernel substitutions always agree."""
+    family; "k1" / "k3" = only its k=1 (pointwise, where XLA's matmul
+    lowering is closest to parity) / k=3 instantiations — "k3" exists for
+    216^3 training, where the wide k=3 fwd+dx+dw Mosaic programs alone
+    exceed the helper budget but the cheap k=1 programs are the main HBM
+    saver. Single shared parser (conv3d.py) so dispatch and the VJPs'
+    cross-kernel substitutions always agree."""
     from coma_unet_tpu.ops.pallas.conv3d import pallas_disabled_families
 
     return pallas_disabled_families()
@@ -250,7 +253,7 @@ def conv3d(
 
         k = kernel.shape[-1]
         disabled = _pallas_disabled()
-        if "s1" in disabled or (k == 1 and "k1" in disabled):
+        if "s1" in disabled or f"k{k}" in disabled:
             return jax.lax.conv_general_dilated(
                 x, kernel, window_strides=strides, padding=padding,
                 lhs_dilation=lhs_dilation, dimension_numbers=_DIMNUMS,
@@ -476,7 +479,7 @@ def cond_conv3d(
         return pallas_conv3d_packed_b(x, kern)
     if (not transposed and not packed_in and not packed_out
             and "s1" not in disabled
-            and not (k == 1 and "k1" in disabled)
+            and f"k{k}" not in disabled
             and strides == (1, 1, 1) and k in (1, 3)
             and kern.shape[-3:] == (k, k, k)
             and _pad_eq(padding, same_padding((k, k, k)))):

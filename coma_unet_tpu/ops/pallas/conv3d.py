@@ -102,6 +102,136 @@ def _conv_kernel(*refs, k: int, dsize: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+_HTILE = 32  # rows per H tile in the wide-slab kernels (bf16 tile-aligned)
+
+
+def _conv_kernel_htiled(*refs, k: int, dsize: int, nh: int):
+    """Wide-slab (W > 128 lanes, e.g. template-space 216^3) variant of
+    `_conv_kernel` with H tiled into `_HTILE`-row blocks: the full-H wide
+    Mosaic programs are what OOM-kill the remote compile helper in the
+    216^3 TRAIN segments (r3 probe_216_train_*: even a handful of
+    [C, 216, 256] fwd/dx/dw programs SIGKILL it, while the XLA fallback
+    OOMs HBM at 25.5 G — so tiling is what makes 216^3 training possible
+    at all). Each kd slab is fetched as (top halo row, TH-row tile, bottom
+    halo row) — 1-row halos keep read amplification at ~3.1x — and kh taps
+    read static row windows of the concatenated [TH+2]-row buffer.
+
+    refs: 3 x (top, main, bot) for kd in (-1, 0, +1), then (w, o). Halo refs
+    are 8-row blocks (Mosaic requires sublane block dims divisible by 8): the
+    top halo is row 7 of the 8-row block ENDING at the tile's first row, the
+    bottom halo row 0 of the block starting one past its last row."""
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+    slabs = []
+    for kd in range(3):
+        top_r, main_r, bot_r = refs[3 * kd:3 * kd + 3]
+        top = jnp.where(hi > 0, top_r[:, 7:8, :], 0.0)
+        bot = jnp.where(hi < nh - 1, bot_r[:, 0:1, :], 0.0)
+        buf = jnp.concatenate([top, main_r[...], bot], axis=1)
+        # zero the out-of-volume D halos
+        if kd == 0:
+            buf = jnp.where(d > 0, buf, 0.0)
+        if kd == 2:
+            buf = jnp.where(d < dsize - 1, buf, 0.0)
+        slabs.append(buf)
+    w_ref, o_ref = refs[9], refs[10]
+    cat = jnp.concatenate(slabs, axis=0)  # [3*Cin, TH+2, W]
+    th = o_ref.shape[1]
+    acc = jnp.zeros(o_ref.shape, dtype=jnp.float32)  # [Cout, TH, W]
+    # lane (W) shift FIRST, on the offset-0 buffer, THEN the kh row-window
+    # slice: Mosaic's tpu.concatenate rejects operands that already carry a
+    # sublane offset (internal error on vector layouts like vpad<16,{1,1}>),
+    # so the order is load-bearing — and it's also 3 lane shifts instead of 9
+    for kw in (-1, 0, 1):
+        sw = _shift_hw(cat, 0, kw)
+        for kh in (-1, 0, 1):
+            # out row r (global hi*TH + r) reads in row global+kh =
+            # buf[r+1+kh]; realized as the proven shift-and-zero-fill
+            # (offset-0 concat output) + a LEADING slice, because downstream
+            # ops reject sublane-offset operands (the zero fill lands in
+            # rows >= TH+2-dh > TH-1, outside the window)
+            s = _shift_hw(sw, 1 + kh, 0)[:, :th, :]
+            tap = (kh + 1) * k + (kw + 1)
+            wk = w_ref[tap].astype(s.dtype)  # [Cout, 3*Cin]
+            acc += jax.lax.dot_general(
+                wk, s, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def _pallas_conv3d_fwd_htiled(x: jnp.ndarray, w: jnp.ndarray,
+                              interpret: bool = False) -> jnp.ndarray:
+    """k=3 wide-H path: pad H to a multiple of `_HTILE` (exact for SAME —
+    pad rows are zero, outputs in the pad region are cropped, and the last
+    true row's kh=+1 tap reads the first pad row, which IS the SAME-pad
+    zero) and run the H-tiled kernel."""
+    b, cin, dsz, h, wd = x.shape
+    k = 3
+    batched = w.ndim == 6
+    cout = w.shape[1] if batched else w.shape[0]
+    hp = -(-h // _HTILE) * _HTILE
+    if hp != h:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, hp - h), (0, 0)])
+    nh = hp // _HTILE
+    if batched:
+        w_taps = jnp.transpose(w, (0, 4, 5, 1, 3, 2)).reshape(
+            b, k * k, cout, k * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((None, k * k, cout, k * cin),
+                              lambda bi, di, hi: (bi, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        w_taps = jnp.transpose(w, (3, 4, 0, 2, 1)).reshape(
+            k * k, cout, k * cin
+        ).astype(jnp.float32)
+        w_spec = pl.BlockSpec((k * k, cout, k * cin),
+                              lambda bi, di, hi: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def main_spec(off):
+        return pl.BlockSpec(
+            (None, cin, None, _HTILE, wd),
+            lambda bi, di, hi, o=off: (bi, 0, jnp.clip(di + o, 0, dsz - 1),
+                                       hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(off, blk_off):
+        # 8-row halo blocks (Mosaic: sublane block dims % 8 == 0); the kernel
+        # statically extracts the single halo row from the fetched block.
+        nb8 = hp // 8
+        return pl.BlockSpec(
+            (None, cin, None, 8, wd),
+            lambda bi, di, hi, o=off, r=blk_off: (
+                bi, 0, jnp.clip(di + o, 0, dsz - 1),
+                jnp.clip(hi * (_HTILE // 8) + r, 0, nb8 - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs, operands = [], []
+    for off in (-1, 0, 1):
+        in_specs += [halo_spec(off, -1), main_spec(off),
+                     halo_spec(off, _HTILE // 8)]
+        operands += [x, x, x]
+    in_specs.append(w_spec)
+    operands.append(w_taps)
+    out = pl.pallas_call(
+        partial(_conv_kernel_htiled, k=k, dsize=dsz, nh=nh),
+        grid=(b, dsz, nh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (None, cout, None, _HTILE, wd),
+            lambda bi, di, hi: (bi, 0, di, hi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, cout, dsz, hp, wd), x.dtype),
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, :, :h] if hp != h else out
+
+
 @partial(jax.jit, static_argnames=("k", "interpret"))
 def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
                        interpret: bool = False) -> jnp.ndarray:
@@ -109,6 +239,10 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
     kernels (the CondConv expert mixture) — one pallas instance either way,
     the weight block just indexes the batch grid dim."""
     b, cin, dsz, h, wd = x.shape
+    if k == 3 and h > 128:
+        # wide template-space slabs: full-H Mosaic programs OOM-kill the
+        # remote compile helper; the H-tiled variant compiles cheaply
+        return _pallas_conv3d_fwd_htiled(x, w, interpret=interpret)
     batched = w.ndim == 6
     cout = w.shape[1] if batched else w.shape[0]
     # weights as [k^2, Cout, k*Cin] f32: (kh, kw)-indexed taps with the kd
@@ -269,6 +403,118 @@ def _dw_kernel(*refs, k: int, dsize: int, batched: bool = False):
                 )
 
 
+def _dw_kernel_htiled(*refs, dsize: int, nh: int, batched: bool):
+    """H-tiled wide-slab variant of `_dw_kernel` (k=3 only): same 1-row-halo
+    fetch pattern as `_conv_kernel_htiled`, accumulating dw[tap, Cout, Cin]
+    across the (B, D, H-tiles) grid into a VMEM-resident constant block."""
+    bi = pl.program_id(0)
+    d = pl.program_id(1)
+    hi = pl.program_id(2)
+    g_ref, o_ref = refs[9], refs[10]
+
+    first = jnp.logical_and(d == 0, hi == 0)
+
+    @pl.when(first if batched else jnp.logical_and(bi == 0, first))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    g = g_ref[...]  # [Cout, TH, W]
+    th = g.shape[1]
+    hw = th * g.shape[2]
+    for kd in range(3):
+        top_r, main_r, bot_r = refs[3 * kd:3 * kd + 3]
+        top = jnp.where(hi > 0, top_r[:, 7:8, :], 0.0)
+        bot = jnp.where(hi < nh - 1, bot_r[:, 0:1, :], 0.0)
+        buf = jnp.concatenate([top, main_r[...], bot], axis=1)
+        if kd == 0:
+            buf = jnp.where(d > 0, buf, 0.0)
+        if kd == 2:
+            buf = jnp.where(d < dsize - 1, buf, 0.0)
+        # lane shift before the row-window slice (see _conv_kernel_htiled:
+        # Mosaic's concatenate rejects sublane-offset operands)
+        for kw in (-1, 0, 1):
+            sw = _shift_hw(buf, 0, kw)
+            for kh in (-1, 0, 1):
+                # offset-0 row window via shift-and-zero-fill + leading
+                # slice (see _conv_kernel_htiled)
+                sx = _shift_hw(sw, 1 + kh, 0)[:, :th, :]  # [Cin, TH, W]
+                tap = (kd * 3 + (kh + 1)) * 3 + (kw + 1)
+                o_ref[tap] += jax.lax.dot_general(
+                    g.reshape(g.shape[0], hw), sx.reshape(sx.shape[0], hw),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+
+def _pallas_conv3d_dw_htiled(x: jnp.ndarray, g: jnp.ndarray,
+                             batched: bool = False,
+                             interpret: bool = False) -> jnp.ndarray:
+    """k=3 wide-H weight gradient: pad H to a `_HTILE` multiple (pad rows of
+    BOTH x and g are zero, so they contribute nothing — exact) and grid over
+    (B, D, H tiles)."""
+    b, cin, dsz, h, wd = x.shape
+    cout = g.shape[1]
+    k = 3
+    hp = -(-h // _HTILE) * _HTILE
+    if hp != h:
+        pad = [(0, 0), (0, 0), (0, 0), (0, hp - h), (0, 0)]
+        x = jnp.pad(x, pad)
+        g = jnp.pad(g, pad)
+    nh = hp // _HTILE
+
+    def main_spec(off):
+        return pl.BlockSpec(
+            (None, cin, None, _HTILE, wd),
+            lambda bi, di, hi, o=off: (bi, 0, jnp.clip(di + o, 0, dsz - 1),
+                                       hi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def halo_spec(off, blk_off):
+        nb8 = hp // 8
+        return pl.BlockSpec(
+            (None, cin, None, 8, wd),
+            lambda bi, di, hi, o=off, r=blk_off: (
+                bi, 0, jnp.clip(di + o, 0, dsz - 1),
+                jnp.clip(hi * (_HTILE // 8) + r, 0, nb8 - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs, operands = [], []
+    for off in (-1, 0, 1):
+        in_specs += [halo_spec(off, -1), main_spec(off),
+                     halo_spec(off, _HTILE // 8)]
+        operands += [x, x, x]
+    in_specs.append(pl.BlockSpec((None, cout, None, _HTILE, wd),
+                                 lambda bi, di, hi: (bi, 0, di, hi, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(g)
+    if batched:
+        out_spec = pl.BlockSpec((None, k ** 3, cout, cin),
+                                lambda bi, di, hi: (bi, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, k ** 3, cout, cin), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((k ** 3, cout, cin),
+                                lambda bi, di, hi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((k ** 3, cout, cin), jnp.float32)
+    dw_taps = pl.pallas_call(
+        partial(_dw_kernel_htiled, dsize=dsz, nh=nh, batched=batched),
+        grid=(b, dsz, nh),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=out_shape,
+        compiler_params=_CPARAMS,
+        interpret=interpret,
+    )(*operands)
+    if batched:
+        return jnp.transpose(dw_taps, (0, 2, 3, 1)).reshape(
+            b, cout, cin, k, k, k
+        )
+    return jnp.transpose(dw_taps, (1, 2, 0)).reshape(cout, cin, k, k, k)
+
+
 @partial(jax.jit, static_argnames=("k", "batched", "interpret"))
 def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
                       batched: bool = False,
@@ -276,6 +522,9 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
     """Weight gradient of the stride-1 SAME conv: [Cout, Cin, k, k, k], or
     per-sample [B, Cout, Cin, k, k, k] when `batched`."""
     b, cin, dsz, h, wd = x.shape
+    if k == 3 and h > 128:
+        return _pallas_conv3d_dw_htiled(x, g, batched=batched,
+                                        interpret=interpret)
     cout = g.shape[1]
 
     def idx(off):

@@ -51,7 +51,10 @@ def mem_report(tag, compiled):
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
-    print("devices:", jax.devices(), "batch:", b, flush=True)
+    train_only = os.environ.get("COMA_PROBE_TRAIN_ONLY") == "1"
+    print("devices:", jax.devices(), "batch:", b,
+          "| COMA_PALLAS_DISABLE=", os.environ.get("COMA_PALLAS_DISABLE"),
+          "| train_only:", train_only, flush=True)
     cfg = ModelConfig(prompt_shape=(S, S, S))
     model = ContraAttnUNet(cfg)
     rng = np.random.default_rng(0)
@@ -67,6 +70,9 @@ def main():
 
     args = (variables, batch["mri"], batch["covars"], batch["roi_loc"],
             batch["roi_std"], batch["roi_compact"])
+    if train_only:
+        _train_probe(model, variables, batch, b)
+        return
     t0 = time.time()
     compiled = None
     for attempt in range(3):  # the helper's SIGKILL is load-dependent (r3)
@@ -94,6 +100,10 @@ def main():
     print(f"forward (b={b}) 216^3: {ms:.1f} ms ({ms/b:.1f} ms/volume)",
           flush=True)
 
+    _train_probe(model, variables, batch, b)
+
+
+def _train_probe(model, variables, batch, b):
     # train step (template-space roi_weight=1.0, `validation.py:154`) —
     # segment-compiled (like the production loop at this geometry: smaller
     # modules for the compile helper) with block remat kept for HBM
@@ -110,9 +120,12 @@ def main():
 
     lcfg = LossConfig(roi_weight=1.0)
     if split_step_supported(model, lcfg):
-        step = make_split_train_step(model, lcfg, donate=False,
+        # donate=True (the production setting): at 216^3, keeping the old
+        # state + param grads + encoder feats alive across the chained
+        # programs is the difference between fitting and ResourceExhausted
+        step = make_split_train_step(model, lcfg, donate=True,
                                      remat_blocks=True)
-        print("train step: segment-compiled (remat on)", flush=True)
+        print("train step: segment-compiled (remat on, donate)", flush=True)
     else:
         step = make_train_step(model, lcfg, donate=False)
     roi_w = jnp.full((36,), 1.0)

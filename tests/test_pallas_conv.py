@@ -91,6 +91,52 @@ def test_dw_kernel_matches_xla_interpret():
                                rtol=1e-3, atol=1e-3)
 
 
+def test_htiled_wide_fwd_matches_xla_interpret():
+    """h > 128 routes k=3 through the H-tiled wide kernel (1-row halos,
+    H padded to a 32-row multiple) — exact vs XLA, incl. per-sample
+    (CondConv) weights."""
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 4, 3, 136, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(5, 4, 3, 3, 3)) * 0.1, jnp.float32)
+    got = _pallas_conv3d_fwd(x, w, 3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv(x, w, 3)),
+                               rtol=1e-4, atol=1e-5)
+    # batched (per-sample) weights
+    xb = jnp.asarray(rng.normal(size=(2, 4, 3, 136, 128)), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(2, 5, 4, 3, 3, 3)) * 0.1, jnp.float32)
+    gotb = _pallas_conv3d_fwd(xb, wb, 3, interpret=True)
+    refb = jnp.concatenate([
+        _xla_conv(xb[i:i + 1], wb[i], 3) for i in range(2)
+    ])
+    np.testing.assert_allclose(np.asarray(gotb), np.asarray(refb),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_htiled_wide_dw_matches_xla_interpret():
+    from coma_unet_tpu.ops.pallas.conv3d import _pallas_conv3d_dw
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 3, 3, 136, 128)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2, 5, 3, 136, 128)), jnp.float32)
+    got = _pallas_conv3d_dw(x, g, 3, interpret=True)
+    _, w_vjp = jax.vjp(
+        lambda w_: _xla_conv(x, w_, 3), jnp.zeros((5, 3, 3, 3, 3))
+    )
+    (want,) = w_vjp(g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-3, atol=1e-3)
+    # batched: per-sample weight grads
+    gotb = _pallas_conv3d_dw(x, g, 3, batched=True, interpret=True)
+    for i in range(2):
+        _, w_vjp = jax.vjp(
+            lambda w_: _xla_conv(x[i:i + 1], w_, 3),
+            jnp.zeros((5, 3, 3, 3, 3)),
+        )
+        (want_i,) = w_vjp(g[i:i + 1])
+        np.testing.assert_allclose(np.asarray(gotb[i]), np.asarray(want_i),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_packed_w64_matches_xla_interpret():
     from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_w64
 
