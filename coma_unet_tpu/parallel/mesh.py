@@ -216,7 +216,8 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
 def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
                                   donate: bool = True,
                                   return_grads: bool = False,
-                                  remat_blocks=None):
+                                  remat_blocks=None,
+                                  fold_update=None):
     """DP composition of `train.step.make_split_train_step`: the three
     chained programs (encoder fwd / decoder grad / encoder bwd + update)
     each wrap a `shard_map` over the 'data' axis, so multi-chip training
@@ -327,9 +328,47 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
     dec_grad = _compile_retry(
         jax.jit(_dec_grad, donate_argnums=(1,) if donate else ()),
         "sharded_dec_grad")
-    enc_bwd_update = _compile_retry(
-        jax.jit(_ebu, donate_argnums=(0, 3, 4) if donate else ()),
-        "sharded_enc_bwd_update")
+    if fold_update is None:
+        import os
+
+        fold_update = os.environ.get("COMA_SPLIT_FOLD", "1") == "1"
+    if fold_update:
+        enc_bwd_update = _compile_retry(
+            jax.jit(_ebu, donate_argnums=(0, 3, 4) if donate else ()),
+            "sharded_enc_bwd_update")
+    else:
+        # unfolded (4-program) variant for large volumes — mirrors
+        # train.step.make_split_train_step(fold_update=False): folding the
+        # AdamW update into the encoder backward adds the optimizer state +
+        # new params to that segment's per-device HBM peak (ResourceExhausted
+        # at 216^3 on v5e, artifacts/r3/probe_216_reduce_fix.log)
+        def eb_local(params, batch, rng, g_feats):
+            _, vjp_fn = jax.vjp(lambda p: enc_local(p, batch, rng), params)
+            return jax.lax.psum(vjp_fn(g_feats)[0], "data")
+
+        def _enc_bwd(params, batch, rng, g_feats):
+            return _shard(
+                eb_local,
+                (P(), _batch_specs(batch), P(), P("data")),
+                P(),
+            )(params, batch, rng, g_feats)
+
+        def _update(state, g_dec, g_enc):
+            grads = jax.tree.map(jnp.add, g_dec, g_enc)
+            new_state = state.apply_gradients(grads)
+            gn = optax_global_norm(grads)
+            return new_state, (gn, grads) if return_grads else (gn,)
+
+        enc_bwd = _compile_retry(
+            jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()),
+            "sharded_enc_bwd")
+        upd = _compile_retry(
+            jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
+            "sharded_update")
+
+        def enc_bwd_update(state, batch, rng, g_feats, g_dec):
+            g_enc = enc_bwd(state.params, batch, rng, g_feats)
+            return upd(state, g_dec, g_enc)
 
     def train_step(state, batch, roi_weights, rng, voxel_weights=None):
         if state.batch_stats:
@@ -352,6 +391,8 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
         "enc_fwd": enc_fwd, "dec_grad": dec_grad,
         "enc_bwd_update": enc_bwd_update,
     }
+    if not fold_update:
+        train_step.segments.update(enc_bwd=enc_bwd, update=upd)
     return train_step
 
 

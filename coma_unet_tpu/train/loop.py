@@ -185,6 +185,7 @@ def train(
                 train_step = make_sharded_split_train_step(
                     model, lcfg, mesh, donate=True,
                     remat_blocks=True if big else None,
+                    fold_update=False if big else None,
                 )
                 log.info("using sharded segment-compiled train step")
             else:
@@ -206,6 +207,9 @@ def train(
             train_step = make_split_train_step(
                 model, lcfg, donate=True,
                 remat_blocks=True if big else None,
+                # large volumes also unfold the optimizer update out of the
+                # encoder backward: folding it in OOMs HBM at 216^3
+                fold_update=False if big else None,
             )
             log.info("using segment-compiled train step (packed family on)")
         else:

@@ -233,6 +233,7 @@ def _compile_retry(fn, tag, tries=3):
                     raise
                 _time.sleep(15)
 
+    call.jitted = fn  # raw jit-wrapped fn, for AOT lower/memory probes
     return call
 
 
@@ -291,6 +292,7 @@ def make_split_train_step(
     donate: bool = True,
     return_grads: bool = False,
     remat_blocks: Optional[bool] = None,
+    fold_update: Optional[bool] = None,
 ) -> Callable:
     """Train step compiled as FOUR chained XLA programs instead of one:
 
@@ -318,6 +320,10 @@ def make_split_train_step(
     criterion = GenerativeContrastiveLoss(loss_config)
     if not loss_config.rnc:
         raise ValueError("make_split_train_step supports the RnC path only")
+    if fold_update is None:
+        import os
+
+        fold_update = os.environ.get("COMA_SPLIT_FOLD", "1") == "1"
 
     # Block-level remat inside the segments only re-buys compute (~70 ms at
     # b=2 128^3) for ~2 GB of activations that fit HBM comfortably — see
@@ -357,20 +363,51 @@ def make_split_train_step(
         donate_argnums=(1,) if donate else (),
     ), "dec_grad")
 
-    def _enc_bwd_update(state, batch, rng, g_feats, g_dec):
-        # encoder backward + optimizer update in ONE program: each chained
-        # dispatch through the relay costs ~20 ms, so the 4th program paid
-        # more in dispatch than its 18 ms of work
-        _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
-        g_enc = vjp_fn(g_feats)[0]
-        grads = jax.tree.map(jnp.add, g_dec, g_enc)
-        new_state = state.apply_gradients(grads)
-        gn = optax_global_norm(grads)
-        return new_state, (gn, grads) if return_grads else (gn,)
+    if fold_update:
+        def _enc_bwd_update(state, batch, rng, g_feats, g_dec):
+            # encoder backward + optimizer update in ONE program: each
+            # chained dispatch through the relay costs ~20 ms, so the 4th
+            # program paid more in dispatch than its 18 ms of work
+            _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
+            g_enc = vjp_fn(g_feats)[0]
+            grads = jax.tree.map(jnp.add, g_dec, g_enc)
+            new_state = state.apply_gradients(grads)
+            gn = optax_global_norm(grads)
+            return new_state, (gn, grads) if return_grads else (gn,)
 
-    enc_bwd_update = _compile_retry(
-        jax.jit(_enc_bwd_update, donate_argnums=(0, 3, 4) if donate else ()),
-        "enc_bwd_update")
+        enc_bwd_update = _compile_retry(
+            jax.jit(_enc_bwd_update,
+                    donate_argnums=(0, 3, 4) if donate else ()),
+            "enc_bwd_update")
+    else:
+        # Unfolded (4-program) variant for large volumes: the encoder
+        # backward's HBM peak at 216^3 is the replayed-forward residuals +
+        # g_enc + conv temps; folding the AdamW update in adds the whole
+        # optimizer state + new params (~2.5 GB at flagship width) to that
+        # same peak — measured ResourceExhausted on v5e (15.75 GB,
+        # artifacts/r3/probe_216_reduce_fix.log) where the three other
+        # segments fit. The 4th program costs one extra ~20 ms relay
+        # dispatch; at 216^3 step times that is noise.
+        def _enc_bwd(params, batch, rng, g_feats):
+            _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), params)
+            return vjp_fn(g_feats)[0]
+
+        def _update(state, g_dec, g_enc):
+            grads = jax.tree.map(jnp.add, g_dec, g_enc)
+            new_state = state.apply_gradients(grads)
+            gn = optax_global_norm(grads)
+            return new_state, (gn, grads) if return_grads else (gn,)
+
+        enc_bwd = _compile_retry(
+            jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()),
+            "enc_bwd")
+        upd = _compile_retry(
+            jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
+            "update")
+
+        def enc_bwd_update(state, batch, rng, g_feats, g_dec):
+            g_enc = enc_bwd(state.params, batch, rng, g_feats)
+            return upd(state, g_dec, g_enc)
 
     def train_step(
         state: TrainState,
@@ -401,6 +438,8 @@ def make_split_train_step(
         "enc_fwd": enc_fwd, "dec_grad": dec_grad,
         "enc_bwd_update": enc_bwd_update,
     }
+    if not fold_update:
+        train_step.segments.update(enc_bwd=enc_bwd, update=upd)
     return train_step
 
 

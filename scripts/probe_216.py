@@ -103,6 +103,44 @@ def main():
     _train_probe(model, variables, batch, b)
 
 
+def _segment_mem(step, state, batch, roi_w):
+    """AOT-compile each split-step segment on abstract args and print its
+    HBM memory analysis — attributes ResourceExhausted to a segment (and its
+    temps) BEFORE any donating execution. Compiles land in the persistent
+    cache, so the subsequent real step pays nothing extra."""
+    segs = getattr(step, "segments", None)
+    need = ("enc_fwd", "dec_grad",
+            "enc_bwd" if segs and "enc_bwd" in segs else "enc_bwd_update")
+    if not segs or not all(hasattr(segs.get(k), "jitted") for k in need):
+        return
+    sds = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    p_s, b_s, st_s = sds(state.params), sds(dict(batch)), sds(state)
+    rng_s = sds(jax.random.PRNGKey(1))
+    rw_s = sds(roi_w)
+    try:
+        enc = segs["enc_fwd"].jitted
+        feats_s = jax.eval_shape(enc, p_s, b_s, rng_s)
+        mem_report("enc_fwd", enc.lower(p_s, b_s, rng_s).compile())
+        dec = segs["dec_grad"].jitted
+        (_, g_s) = jax.eval_shape(dec, p_s, feats_s, b_s, rw_s, rng_s, None)
+        g_dec_s, g_feats_s = g_s
+        mem_report("dec_grad",
+                   dec.lower(p_s, feats_s, b_s, rw_s, rng_s, None).compile())
+        if "enc_bwd" in segs:  # unfolded (fold_update=False)
+            eb = segs["enc_bwd"].jitted
+            g_enc_s = jax.eval_shape(eb, p_s, b_s, rng_s, g_feats_s)
+            mem_report("enc_bwd",
+                       eb.lower(p_s, b_s, rng_s, g_feats_s).compile())
+            mem_report("update", segs["update"].jitted.lower(
+                st_s, g_dec_s, g_enc_s).compile())
+        else:
+            mem_report("enc_bwd_update", segs["enc_bwd_update"].jitted.lower(
+                st_s, b_s, rng_s, g_feats_s, g_dec_s).compile())
+    except Exception as e:  # noqa: BLE001
+        print(f"segment mem probe failed: {str(e)[:300]}", flush=True)
+
+
 def _train_probe(model, variables, batch, b):
     # train step (template-space roi_weight=1.0, `validation.py:154`) —
     # segment-compiled (like the production loop at this geometry: smaller
@@ -123,12 +161,21 @@ def _train_probe(model, variables, batch, b):
         # donate=True (the production setting): at 216^3, keeping the old
         # state + param grads + encoder feats alive across the chained
         # programs is the difference between fitting and ResourceExhausted
+        # fold_update=False (the production large-volume setting): folding
+        # the AdamW update into the encoder backward adds the optimizer
+        # state + new params to that segment's HBM peak — ResourceExhausted
+        # at 216^3 (artifacts/r3/probe_216_reduce_fix.log)
         step = make_split_train_step(model, lcfg, donate=True,
-                                     remat_blocks=True)
-        print("train step: segment-compiled (remat on, donate)", flush=True)
+                                     remat_blocks=True, fold_update=False)
+        print("train step: segment-compiled (remat on, donate, unfolded "
+              "update)", flush=True)
     else:
         step = make_train_step(model, lcfg, donate=False)
     roi_w = jnp.full((36,), 1.0)
+    _segment_mem(step, state, batch, roi_w)
+    if os.environ.get("COMA_PROBE_COMPILE_ONLY") == "1":
+        print("PROBE_216 compile-only done", flush=True)
+        return
     t0 = time.time()
     state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
     loss = float(aux["loss"])

@@ -220,11 +220,16 @@ def test_dp_reg_weight_and_valid_mask_match_single_device(
         )
 
 
+import pytest
+
+
+@pytest.mark.parametrize("fold_update", [True, False])
 def test_sharded_split_step_matches_single_device(tiny_model_config, rng,
-                                                  monkeypatch):
+                                                  monkeypatch, fold_update):
     """The segmented DP step (3 shard_map programs — the multi-chip packed-
-    family path) == the single-device split step on the full batch: loss,
-    psum'd grads, and updated params."""
+    family path; 4 with fold_update=False, the large-volume variant) == the
+    single-device split step on the full batch: loss, psum'd grads, and
+    updated params."""
     from coma_unet_tpu.parallel.mesh import make_sharded_split_train_step
     from coma_unet_tpu.train.step import (
         make_split_train_step,
@@ -249,7 +254,8 @@ def test_sharded_split_step_matches_single_device(tiny_model_config, rng,
 
     mesh = make_mesh(data=8, spatial=1)
     sharded = make_sharded_split_train_step(
-        model, LossConfig(), mesh, donate=False, return_grads=True)
+        model, LossConfig(), mesh, donate=False, return_grads=True,
+        fold_update=fold_update)
     s2, aux2 = sharded(replicate_state(state, mesh),
                        shard_batch(batch, mesh), roi_w, rng)
 

@@ -156,6 +156,39 @@ def test_split_step_gating(split_model_config, monkeypatch):
     assert not split_step_supported(ContraAttnUNet(cfg), LossConfig())
 
 
+def test_split_step_unfolded_update_matches(split_model_config, rng,
+                                            monkeypatch):
+    """fold_update=False (the large-volume/216^3 path: optimizer update as a
+    4th program so the encoder-backward HBM peak excludes the AdamW state)
+    is bit-for-bit the same math as the folded 3-program default."""
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    model = ContraAttnUNet(split_model_config)
+    lcfg = LossConfig()
+    batch = make_batch(rng)
+    batch["valid_mask"] = jnp.asarray([1.0, 0.0])
+    roi_w = jnp.full((36,), 225.0)
+    step_rng = jax.random.PRNGKey(9)
+    folded = make_split_train_step(model, lcfg, donate=False,
+                                   fold_update=True)
+    unfolded = make_split_train_step(model, lcfg, donate=False,
+                                     fold_update=False)
+    assert {"enc_bwd", "update"} <= set(unfolded.segments)
+    s_f, aux_f = folded(_state(model, batch), batch, roi_w, step_rng)
+    s_u, aux_u = unfolded(_state(model, batch), batch, roi_w, step_rng)
+    np.testing.assert_allclose(aux_u["loss"], aux_f["loss"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(aux_u["grad_norm"], aux_f["grad_norm"],
+                               rtol=1e-5, atol=1e-7)
+    for (pf, wf), (_, wu) in zip(
+        jax.tree_util.tree_leaves_with_path(s_f.params),
+        jax.tree_util.tree_leaves_with_path(s_u.params),
+    ):
+        np.testing.assert_allclose(
+            wu, wf, rtol=1e-6, atol=1e-7,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(pf)}",
+        )
+
+
 def test_split_step_remat_variant_matches(split_model_config, rng,
                                           monkeypatch):
     """remat_blocks=True (the large-volume/216^3 path) produces the same
