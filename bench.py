@@ -187,6 +187,19 @@ def main() -> None:
             _ = float(aux["loss"])
             _note("train_compile_s", round(time.time() - t0, 1),
                   f"train step compile+run: {time.time()-t0:.1f}s")
+            # Warm-up: the first few post-compile steps run ~54 s each
+            # (relay-side executable warm-up; r3's split_v2_probe measured
+            # 53.3 s for the first full step vs 569 ms steady state), so
+            # timing immediately after compile averaged 32.7 s/step in
+            # r3's first bench run. Warm adaptively until a step lands
+            # under 2 s (fetch each to force execution).
+            for i in range(4):
+                t1 = time.time()
+                state, aux = step(state, batch, roi_w,
+                                  jax.random.PRNGKey(100 + i))
+                _ = float(aux["loss"])
+                if time.time() - t1 < 2.0:
+                    break
             n = 5
             t0 = time.time()
             for i in range(n):
