@@ -315,6 +315,23 @@ def conv3d(
                     out = y if out is None else out + y
                 return unpack_w(out)[..., : wd // 2]
 
+        if (k == 3 and cubic and strides == (2, 2, 2) and groups == 1
+                and wd > 128 and all(s % 2 == 0 for s in x.shape[2:])
+                and _on_tpu()
+                and os.environ.get("COMA_PHASE_DOT", "1") != "0"):
+            # wide stride-2 (template-space 216^3) DEFAULT: the pure-XLA
+            # phase-dot lowering (parity-phase slices + channel-contraction
+            # einsums, ops/phase_dot.py). No conv op ever reaches XLA — at
+            # these shapes XLA's conv lowering relayouts bf16 small-channel
+            # operands channel-minor (4.8 GB HLO temps per bf16[1,32,216^3],
+            # probe_216 OOM dump) — and autodiff keeps dx/dw conv-free too,
+            # which is what let the 216^3 encoder backward fit HBM
+            # (scripts/trace_216_bwd.py). COMA_PHASE_DOT=0 restores the XLA
+            # fallback; COMA_WIDE_S2=1 (above) outranks it where eligible.
+            from coma_unet_tpu.ops.phase_dot import phase_dot_s2
+
+            return phase_dot_s2(x, kernel)
+
         if cubic and groups == 1:
             # conv is linear in the input channels: when the full-width conv
             # exceeds the gate, split into 2 or 4 channel chunks of pallas
@@ -338,6 +355,19 @@ def conv3d(
                                       kernel[:, i * ch:(i + 1) * ch], k)
                     out = y if out is None else out + y
                 return cropped(out)
+    if (use_pallas and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
+            and groups == 1 and kernel.shape[-3:] == (3, 3, 3)
+            and _pad_eq(padding, _T2PAD3) and x.shape[-1] > 64
+            and _on_tpu()
+            and os.environ.get("COMA_PHASE_DOT", "1") != "0"):
+        # wide transposed stride-2 (decoder upsample past the 128-lane
+        # packed path, e.g. 108^3 -> 216^3): same phase-dot rationale as the
+        # s2 branch above — XLA's transposed-conv lowering at these shapes
+        # is the 4.8 GB channel-minor relayout class (probe_216 OOM dump,
+        # up0 offender), and its VJP would re-enter it for dx/dw.
+        from coma_unet_tpu.ops.phase_dot import phase_dot_t2
+
+        return phase_dot_t2(x, kernel)
     # NB: no preferred_element_type override — for bf16 operands the TPU MXU
     # accumulates in f32 natively, and forcing f32 outputs breaks the conv
     # transpose rule under AD (f32 cotangent vs bf16 kernel).

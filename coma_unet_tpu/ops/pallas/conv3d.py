@@ -584,9 +584,13 @@ def _bwd(k, res, g):
     dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
     if x.shape[1] == 1:
         # Mosaic rejects the [1, H*W] reshape in the dw kernel; the
-        # single-input-channel weight grad is tiny — use XLA's path.
-        _, w_vjp = jax.vjp(lambda w_: _xla_conv(x, w_, k), w)
-        (dw,) = w_vjp(g)
+        # single-input-channel weight grad is tiny — but the XLA-conv vjp
+        # it used to take relayouts wide operands channel-minor (the 216^3
+        # OOM class, scripts/trace_216_bwd.py). Shifted-slice einsums stay
+        # on natural layouts at identical math.
+        from coma_unet_tpu.ops.phase_dot import shift_dot_dw
+
+        dw = shift_dot_dw(x, g, k)
     else:
         dw = _pallas_conv3d_dw(x, g, k)
     return dx.astype(x.dtype), dw.astype(w.dtype)
@@ -616,22 +620,11 @@ def _bwd_b(k, res, g):
         w_t = w.transpose(0, 2, 1, 3, 4, 5)
     dx = _pallas_conv3d_fwd(g, w_t.astype(w.dtype), k)
     if x.shape[1] == 1:
-        # per-sample weight grad via the grouped XLA conv (see _bwd)
-        def grouped(w_):
-            b, cin = x.shape[:2]
-            cout = w_.shape[1]
-            kg = w_.reshape((b * cout, cin) + w_.shape[3:])
-            xg = x.reshape((1, b * cin) + x.shape[2:])
-            pad = (k - 1) // 2
-            y = jax.lax.conv_general_dilated(
-                xg, kg, (1, 1, 1), [(pad, pad)] * 3,
-                dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-                feature_group_count=b,
-            )
-            return y.reshape((b, cout) + y.shape[2:])
+        # per-sample Cin==1 weight grad: shifted-slice einsums instead of
+        # the grouped-XLA-conv vjp (same relayout rationale as `_bwd`)
+        from coma_unet_tpu.ops.phase_dot import shift_dot_dw
 
-        _, w_vjp = jax.vjp(grouped, w)
-        (dw,) = w_vjp(g)
+        dw = shift_dot_dw(x, g, k, batched=True)
     else:
         dw = _pallas_conv3d_dw(x, g, k, batched=True)
     return dx.astype(x.dtype), dw.astype(w.dtype)
