@@ -13,13 +13,28 @@ both conv backends on v5e:
   * the Mosaic wide-W strided kernels of this class crashed the remote
     compile helper (r3 g216 probe: 35 min compile, then endpoint death).
 
-This module takes the third road: lower stride-2 (s2) and transposed
-stride-2 (t2) k=3 SAME convs to parity-phase slices + per-tap
-channel-contraction einsums. No `conv_general_dilated` anywhere, so XLA
-keeps natural spatial-minor layouts (lane-dim W); and because slices, pads,
-stacks, and dots are all AD-closed, `jax.vjp` of these functions produces
-the same relayout-free op set for dx and dw — the property the Pallas
-kernels need custom VJPs for.
+This module takes the third road: decompose stride-2 (s2) and transposed
+stride-2 (t2) k=3 SAME convs by spatial parity phase. Two formulations:
+
+  * `*_einsum` — parity-phase slices + stacked channel-contraction
+    einsums, zero conv ops. Lowest HBM in the forward, but XLA relayouts
+    the stacked dot operands channel-minor anyway (the contraction dims
+    are not minor in NCDHW), and under remat those copies stack up:
+    615 MB x ~20 at up0 in the 216^3 decoder grad. Measured 337 ms fwd /
+    2068 ms fwd+vjp at [1,32,216^3] — kept as reference, not dispatched.
+  * `*_std` (THE DEFAULT, aliased as `phase_dot_s2` / `phase_dot_t2`) —
+    space-to-depth + ONE k=2 conv at 8x channels and half spatial extent
+    + (for t2) depth-to-space. The conv XLA sees has large channel counts
+    and 108^3 spatial, shapes its TPU lowering handles on natural layouts.
+    Measured (v5e, scripts/phase_dot_probe.py, fwd+vjp, bf16):
+
+        s2 [1,32,216^3]: 74.8 ms / 2.40 GB temps   (XLA: 107.0 / 8.95)
+        s2 [1,16,216^3]: 47.7 ms / 2.40 GB         (XLA:  96.4 / 8.21)
+        t2 [1,64,108^3]: 24.4 ms / 1.43 GB         (XLA:  97.7 / 5.52)
+
+Both are AD-closed through ordinary autodiff, so dx/dw inherit the same
+healthy-shape property — which the 216^3 encoder backward needed to fit
+HBM (its XLA-conv dx/dw were the ResourceExhausted drivers).
 
 Per-phase arithmetic (stride 2, k=3, SAME, even extents): output index o
 reads input index i = 2o + (k-1) for tap k in {0,1,2}, so each tap is a
@@ -45,7 +60,9 @@ from itertools import product
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["phase_dot_s2", "phase_dot_t2", "shift_dot_dw"]
+__all__ = ["phase_dot_s2", "phase_dot_t2", "shift_dot_dw",
+           "phase_dot_s2_std", "phase_dot_t2_std",
+           "phase_dot_s2_einsum", "phase_dot_t2_einsum"]
 
 _SPATIAL = (2, 3, 4)  # NCDHW
 
@@ -68,7 +85,7 @@ def _shift_p1(a: jnp.ndarray, axis: int) -> jnp.ndarray:
 _S2_TAP = {0: (1, -1), 1: (0, 0), 2: (1, 0)}
 
 
-def phase_dot_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def phase_dot_s2_einsum(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 k=3 SAME conv, NCDHW x [B,C,D,H,W] (even D/H/W), OIDHW
     w [O,C,3,3,3] -> [B,O,D/2,H/2,W/2]. Equals
     `lax.conv_general_dilated(x, w, (2,2,2), SAME)` to dot-accumulation
@@ -102,7 +119,7 @@ def phase_dot_s2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def phase_dot_t2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def phase_dot_t2_einsum(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Transposed stride-2 k=3 conv (lhs_dilation (2,2,2), padding (1,2)
     per axis — `models.blocks.transposed_padding(3, 2)`), NCDHW
     x [B,I,N,N,N], OIDHW w [O,I,3,3,3] -> [B,O,2N,2N,2N]."""
@@ -135,6 +152,76 @@ def phase_dot_t2(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return arr.reshape(b, o, 2 * dz, 2 * dy_, 2 * dx_)
 
 
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, 2n, 2n, 2n] -> [B, C*8, n, n, n], phase (pz,py,px) minor in
+    the channel order (c*8 + pz*4 + py*2 + px)."""
+    b, c, dz, dy_, dx_ = x.shape
+    n = dz // 2
+    x = x.reshape(b, c, n, 2, dy_ // 2, 2, dx_ // 2, 2)
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6)
+    return x.reshape(b, c * 8, n, dy_ // 2, dx_ // 2)
+
+
+def _depth_to_space(y: jnp.ndarray, o: int) -> jnp.ndarray:
+    """[B, O*8, n, n, n] (phase minor) -> [B, O, 2n, 2n, 2n]."""
+    b, _, nz, ny, nx = y.shape
+    y = y.reshape(b, o, 2, 2, 2, nz, ny, nx)
+    y = y.transpose(0, 1, 5, 2, 6, 3, 7, 4)
+    return y.reshape(b, o, 2 * nz, 2 * ny, 2 * nx)
+
+
+# stride-2 tap k -> (input parity phase p, k=2-conv tap j) per axis, for the
+# pad-(1,0) k=2 conv over the phase grid: output u reads phase element
+# u-1+j, so shift -1 -> j=0 and shift 0 -> j=1.
+_S2_STD_TAP = {0: (1, 0), 1: (0, 1), 2: (1, 1)}
+# transposed tap k -> (output parity q, k=2-conv tap j) for the pad-(0,1)
+# k=2 conv: out phase q at u reads x[u+j].
+_T2_STD_TAP = {0: (1, 0), 1: (0, 0), 2: (1, 1)}
+
+
+def phase_dot_s2_std(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """`phase_dot_s2` math via space-to-depth + ONE k=2 conv at 8x channels
+    and half spatial extent — shapes XLA's TPU conv lowering handles
+    without the small-channel channel-minor relayout (the [1,{32,64},108^3]
+    einsum operands of the stacked formulation were relayouted into
+    615 MB x ~20 remat copies in the 216^3 decoder grad — probe r3)."""
+    if any(x.shape[a] % 2 for a in _SPATIAL):
+        raise ValueError(f"phase_dot_s2 needs even spatial extents: {x.shape}")
+    o, c = w.shape[:2]
+    xp = _space_to_depth(x)
+    w2 = jnp.zeros((o, c, 2, 2, 2, 2, 2, 2), w.dtype)  # [O,C,p...,j...]
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                (pz, jz), (py, jy), (px, jx) = (
+                    _S2_STD_TAP[kz], _S2_STD_TAP[ky], _S2_STD_TAP[kx])
+                w2 = w2.at[:, :, pz, py, px, jz, jy, jx].add(
+                    w[:, :, kz, ky, kx])
+    w2 = w2.reshape(o, c * 8, 2, 2, 2)
+    return lax.conv_general_dilated(
+        xp, w2, (1, 1, 1), ((1, 0), (1, 0), (1, 0)),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+
+
+def phase_dot_t2_std(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """`phase_dot_t2` math via ONE k=2 conv at 8x output channels + a
+    depth-to-space interleave (see `phase_dot_s2_std`)."""
+    o, c = w.shape[:2]
+    w3 = jnp.zeros((o, 2, 2, 2, c, 2, 2, 2), w.dtype)  # [O,q...,C,j...]
+    for kz in range(3):
+        for ky in range(3):
+            for kx in range(3):
+                (qz, jz), (qy, jy), (qx, jx) = (
+                    _T2_STD_TAP[kz], _T2_STD_TAP[ky], _T2_STD_TAP[kx])
+                w3 = w3.at[:, qz, qy, qx, :, jz, jy, jx].add(
+                    w[:, :, kz, ky, kx])
+    w3 = w3.reshape(o * 8, c, 2, 2, 2)
+    y = lax.conv_general_dilated(
+        x, w3, (1, 1, 1), ((0, 1), (0, 1), (0, 1)),
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+    return _depth_to_space(y, o)
+
+
 def shift_dot_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
                  batched: bool = False) -> jnp.ndarray:
     """Weight gradient of the stride-1 SAME k^3 conv as shifted-slice
@@ -165,3 +252,9 @@ def shift_dot_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
     spec = "tbczyx,bozyx->boct" if batched else "tbczyx,bozyx->oct"
     dw = jnp.einsum(spec, stack, g, preferred_element_type=jnp.float32)
     return dw.reshape(dw.shape[:-1] + (k, k, k))
+
+
+# the measured winners (fwd+vjp speed AND HBM, see module docstring) are
+# the space-to-depth formulations — dispatch (models/blocks.py) uses these
+phase_dot_s2 = phase_dot_s2_std
+phase_dot_t2 = phase_dot_t2_std

@@ -11,7 +11,12 @@ import numpy as np
 import pytest
 
 from coma_unet_tpu.models.blocks import same_padding, transposed_padding
-from coma_unet_tpu.ops.phase_dot import phase_dot_s2, phase_dot_t2
+from coma_unet_tpu.ops.phase_dot import (
+    phase_dot_s2,
+    phase_dot_s2_einsum,
+    phase_dot_t2,
+    phase_dot_t2_einsum,
+)
 
 DIMNUMS = ("NCDHW", "OIDHW", "NCDHW")
 
@@ -40,6 +45,8 @@ def test_s2_matches_xla(shape, cout):
     w = jnp.asarray(rng.normal(size=(cout, shape[1], 3, 3, 3)), jnp.float32)
     np.testing.assert_allclose(phase_dot_s2(x, w), _xla_s2(x, w),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(phase_dot_s2_einsum(x, w), _xla_s2(x, w),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("shape,cout", [((1, 4, 3, 4, 5), 3),
@@ -50,10 +57,42 @@ def test_t2_matches_xla(shape, cout):
     w = jnp.asarray(rng.normal(size=(cout, shape[1], 3, 3, 3)), jnp.float32)
     np.testing.assert_allclose(phase_dot_t2(x, w), _xla_t2(x, w),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(phase_dot_t2_einsum(x, w), _xla_t2(x, w),
+                               rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("fn,ref", [(phase_dot_s2, _xla_s2),
-                                    (phase_dot_t2, _xla_t2)])
+@pytest.mark.parametrize("shape,cout", [((1, 3, 6, 8, 10), 5),
+                                        ((2, 4, 8, 8, 8), 4)])
+def test_s2_std_matches_xla(shape, cout):
+    from coma_unet_tpu.ops.phase_dot import phase_dot_s2_std
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(cout, shape[1], 3, 3, 3)), jnp.float32)
+    np.testing.assert_allclose(phase_dot_s2_std(x, w), _xla_s2(x, w),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,cout", [((1, 4, 3, 4, 5), 3),
+                                        ((2, 2, 4, 4, 4), 4)])
+def test_t2_std_matches_xla(shape, cout):
+    from coma_unet_tpu.ops.phase_dot import phase_dot_t2_std
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(cout, shape[1], 3, 3, 3)), jnp.float32)
+    np.testing.assert_allclose(phase_dot_t2_std(x, w), _xla_t2(x, w),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _std_fns():
+    from coma_unet_tpu.ops.phase_dot import phase_dot_s2_std, phase_dot_t2_std
+
+    return [(phase_dot_s2_std, _xla_s2), (phase_dot_t2_std, _xla_t2)]
+
+
+@pytest.mark.parametrize("fn,ref", [(phase_dot_s2_einsum, _xla_s2),
+                                    (phase_dot_t2_einsum, _xla_t2)] + _std_fns())
 def test_grads_match_xla(fn, ref):
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(1, 3, 4, 6, 4)), jnp.float32)
@@ -68,20 +107,50 @@ def test_grads_match_xla(fn, ref):
     np.testing.assert_allclose(gw, rw, rtol=1e-5, atol=1e-5)
 
 
-def test_vjp_emits_no_convs():
-    """The whole point: d(phase_dot)/d(x,w) contains no conv ops."""
+def _bwd(fn):
+    def f(x, w):
+        y, vjp = jax.vjp(fn, x, w)
+        return vjp(jnp.ones_like(y))
+    return f
+
+
+def test_einsum_vjp_emits_no_convs():
+    """The einsum formulation's defining property: d/d(x,w) has no conv
+    ops at all (kept as the zero-conv reference lowering)."""
+    x = jax.ShapeDtypeStruct((1, 4, 8, 8, 8), jnp.float32)
+    w = jax.ShapeDtypeStruct((6, 4, 3, 3, 3), jnp.float32)
+    for fn in (phase_dot_s2_einsum, phase_dot_t2_einsum):
+        jaxpr = jax.make_jaxpr(_bwd(fn))(x, w)
+        assert "conv_general_dilated" not in str(jaxpr)
+
+
+def test_std_vjp_convs_run_at_half_extent():
+    """The dispatched (std) formulation's memory property: every conv in
+    fwd+vjp (fwd, dx, dw) operates at HALF the full spatial extent — the
+    full-extent small-channel conv (XLA's channel-minor relayout class,
+    scripts/trace_216_bwd.py) never appears; full-extent tensors are only
+    touched by layout ops (space-to-depth / depth-to-space)."""
     x = jax.ShapeDtypeStruct((1, 4, 8, 8, 8), jnp.float32)
     w = jax.ShapeDtypeStruct((6, 4, 3, 3, 3), jnp.float32)
 
-    def bwd(fn):
-        def f(x, w):
-            y, vjp = jax.vjp(fn, x, w)
-            return vjp(jnp.ones_like(y))
-        return f
+    def walk(jaxpr, hits):
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "conv_general_dilated":
+                hits.append(eqn.invars[0].aval.shape)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    walk(v.jaxpr, hits)
+                elif hasattr(v, "eqns"):
+                    walk(v, hits)
 
-    for fn in (phase_dot_s2, phase_dot_t2):
-        jaxpr = jax.make_jaxpr(bwd(fn))(x, w)
-        assert "conv_general_dilated" not in str(jaxpr)
+    # "full extent" = the larger of the op's input/output extents (8 for
+    # s2 on an 8^3 input, 16 for t2); every conv must run at half that.
+    for fn, full in ((phase_dot_s2, 8), (phase_dot_t2, 16)):
+        hits = []
+        walk(jax.make_jaxpr(_bwd(fn))(x, w).jaxpr, hits)
+        assert hits, "std lowering should contain its k=2 conv"
+        for lhs in hits:
+            assert max(lhs[-3:]) <= full // 2, (fn.__name__, lhs)
 
 
 @pytest.mark.parametrize("k", [1, 3])
