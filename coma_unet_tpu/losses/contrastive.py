@@ -39,6 +39,13 @@ def rnc_loss(
     if labels.ndim == 1:
         labels = labels[:, None]
     n = features.shape[0]
+    if n < 2:
+        # A single sample has no ranking pairs: the normalizer n*(n-1) is 0
+        # and the diag-dropped candidate set is empty, so the expression is
+        # 0/0 = NaN (the reference's torch loop degenerates the same way).
+        # Template-space 216^3 trains at b=1 (HBM) — return a zero with
+        # zero gradient instead of poisoning the total (r3 PROBE_216).
+        return jnp.zeros((), jnp.float32)
     f = features.astype(jnp.float32)
     l = labels.astype(jnp.float32)
 

@@ -33,8 +33,11 @@ def cached_flagship_variables(model, batch):
 
     from __graft_entry__ import init_on_cpu
 
+    # key by geometry: flax from_bytes replaces leaves wholesale, so a
+    # 216^3 run would otherwise poison the 128^3 cache (and vice versa)
+    s = batch["mri"].shape[-1]
     path = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
-                        "flagship_vars.msgpack")
+                        f"flagship_vars_s{s}.msgpack")
     if os.path.exists(path):
         t0 = time.time()
         target = jax.eval_shape(

@@ -288,3 +288,17 @@ def test_composite_valid_mask_matches_subset():
     np.testing.assert_allclose(float(got.pred_space), float(want.pred_space),
                                rtol=1e-5)
     np.testing.assert_allclose(float(got.tcds), float(want.tcds), rtol=1e-5)
+
+
+def test_rnc_loss_single_sample_is_zero_not_nan():
+    # b=1 has no ranking pairs (normalizer n*(n-1)=0) -- the template-space
+    # 216^3 trainer runs b=1 (r3 PROBE_216); the loss must be 0 with a
+    # finite (zero) gradient rather than 0/0 = NaN.
+    f = jnp.asarray(np.random.default_rng(13).normal(size=(1, 8)),
+                    jnp.float32)
+    lab = jnp.ones((1, 6), jnp.float32)
+    val = float(rnc_loss(f, lab))
+    assert val == 0.0
+    g = jax.grad(lambda x: rnc_loss(x, lab))(f)
+    assert np.all(np.isfinite(np.asarray(g)))
+    np.testing.assert_allclose(np.asarray(g), 0.0)
