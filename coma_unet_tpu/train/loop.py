@@ -253,7 +253,22 @@ def train(
         epoch_loss = epoch_gen = epoch_tcds = 0.0
         pos_loss = neg_loss = 0.0
         n = n_pos = n_neg = 0
-        for batch_idx, batch in enumerate(train_loader):
+        # loader-wait vs step-time split: time blocked in next() separately
+        # from the (synchronous, loss-fetched) step so the epoch log shows
+        # whether the double-buffered prefetch pipeline hides IO under
+        # device time (ref trains with torch DataLoader workers).
+        wait_s = step_s = 0.0
+        _it = iter(train_loader)
+        batch_idx = -1
+        while True:
+            t_w = time.time()
+            try:
+                batch = next(_it)
+            except StopIteration:
+                break
+            wait_s += time.time() - t_w
+            batch_idx += 1
+            t_s = time.time()
             db = {k: v for k, v in batch.items()
                   if k not in ("sample_ids", "tau_paths", "valid")}
             # wrap-padded duplicate rows must not contribute gradient: the
@@ -291,6 +306,7 @@ def train(
             neg_loss += float(gen[is_neg].sum()) + tcds * int(is_neg.sum())
             n_pos += int(is_pos.sum())
             n_neg += int(is_neg.sum())
+            step_s += time.time() - t_s
             if batch_idx % 10 == 0:
                 log.info("epoch %d batch %d loss %.4f", epoch, batch_idx, bl)
 
@@ -303,8 +319,11 @@ def train(
         hist["tcds_avg"].append(epoch_tcds / max(n, 1))
         hist["pos_avg"].append(pos_loss / max(n_pos, 1))
         hist["neg_avg"].append(neg_loss / max(n_neg, 1))
-        log.info("epoch %d: avg loss %.4f (lr %.2e, %.1fs)",
-                 epoch, avg, new_lr, time.time() - t0)
+        busy = max(wait_s + step_s, 1e-9)
+        log.info("epoch %d: avg loss %.4f (lr %.2e, %.1fs; "
+                 "loader wait %.2fs / step %.2fs = %.1f%% stalled)",
+                 epoch, avg, new_lr, time.time() - t0,
+                 wait_s, step_s, 100.0 * wait_s / busy)
 
         loss_graph(
             (hist["avg"], hist["pos_avg"], hist["neg_avg"]),
