@@ -162,6 +162,37 @@ def main(fams):
                x1, w1)
         timeit("k1 16ch fwd+bwd pallas", grad_fn(op1), x1, w1)
 
+    if "p1" in fams:
+        # phase-decomposed stride-1 family (conv3d_p1.py) vs the base s1
+        # kernel and XLA, at the two flagship s1 classes: 32->32 (head
+        # conv1 / merge chunks) and 32->16 (modulator-width Cout)
+        from coma_unet_tpu.ops.pallas.conv3d_p1 import (
+            _p1_dw,
+            _p1_fwd,
+            pallas_conv3d_p1,
+        )
+
+        x = mk((2, 32, 128, 128, 128))
+        w = mk((32, 32, 3, 3, 3))
+        timeit("p1 32ch fwd", lambda x_, w_: _p1_fwd(x_, w_), x, w)
+        timeit("s1 32ch fwd (base kernel)",
+               lambda x_, w_: pallas_conv3d(x_, w_, 3), x, w)
+        timeit("s1 32ch fwd XLA",
+               lambda x_, w_: xla_conv(x_, w_, (1, 1, 1),
+                                       same_padding((3, 3, 3))), x, w)
+        g = mk((2, 32, 128, 128, 128))
+        timeit("p1 32ch dw", lambda x_, g_: _p1_dw(x_, g_), x, g)
+        timeit("p1 32ch fwd+bwd", grad_fn(pallas_conv3d_p1), x, w)
+        timeit("s1 32ch fwd+bwd (base)",
+               grad_fn(lambda x_, w_: pallas_conv3d(x_, w_, 3)), x, w)
+        w16 = mk((16, 32, 3, 3, 3))
+        timeit("p1 32->16 fwd", lambda x_, w_: _p1_fwd(x_, w_), x, w16)
+        timeit("s1 32->16 fwd (base)",
+               lambda x_, w_: pallas_conv3d(x_, w_, 3), x, w16)
+        wb = mk((2, 32, 32, 3, 3, 3))
+        timeit("p1 32ch fwd batched-kernels",
+               lambda x_, w_: _p1_fwd(x_, w_), x, wb)
+
     if "g216" in fams:
         # Template-space 216^3 shapes (PROBE_216): the direct-216^3 forward
         # OOMs under XLA (three ~4.8 GB channel-minor temps, 8-16x layout
