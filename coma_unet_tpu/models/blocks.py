@@ -250,6 +250,10 @@ def conv3d(
             pallas_conv3d,
             pallas_conv3d_supported,
         )
+        from coma_unet_tpu.ops.pallas.conv3d_p1 import (
+            p1_supported,
+            pallas_conv3d_p1,
+        )
 
         k = kernel.shape[-1]
         disabled = _pallas_disabled()
@@ -339,20 +343,32 @@ def conv3d(
             # full resolution; parts=4 the 64-channel merges at lane-padded
             # 216^3, where wide k=3 slabs are capped at 16 channels (the
             # c=32 Mosaic program crashes the remote compile helper).
+            use_p1 = (k == 3 and pad == 0 and "p1" not in disabled
+                      and _on_tpu()
+                      and os.environ.get("COMA_S1_PHASE", "1") != "0")
+            cout = kernel.shape[0]
             for parts in (1, 2, 4):
                 if cin % parts:
                     continue
-                if not pallas_conv3d_supported(
-                    (x.shape[0], cin // parts) + pshape[2:], k, strides,
-                    is_transposed=False,
+                chunk_shape = (x.shape[0], cin // parts) + pshape[2:]
+                p1_ok = use_p1 and p1_supported(chunk_shape, cout)
+                if not p1_ok and not pallas_conv3d_supported(
+                    chunk_shape, k, strides, is_transposed=False,
                 ):
                     continue
                 ch = cin // parts
                 xp_ = padded(x)
                 out = None
                 for i in range(parts):
-                    y = pallas_conv3d(xp_[:, i * ch:(i + 1) * ch],
-                                      kernel[:, i * ch:(i + 1) * ch], k)
+                    if p1_ok:
+                        # phase-decomposed s1 (conv3d_p1.py): 4x MXU row
+                        # fill at Cout<=32 — hardware A/B in
+                        # artifacts/r3/kernel_probe_p1.log
+                        y = pallas_conv3d_p1(xp_[:, i * ch:(i + 1) * ch],
+                                             kernel[:, i * ch:(i + 1) * ch])
+                    else:
+                        y = pallas_conv3d(xp_[:, i * ch:(i + 1) * ch],
+                                          kernel[:, i * ch:(i + 1) * ch], k)
                     out = y if out is None else out + y
                 return cropped(out)
     if (use_pallas and lhs_dilation == (2, 2, 2) and strides == (1, 1, 1)
@@ -516,15 +532,24 @@ def cond_conv3d(
         # same W zero-pad-to-lane-multiple trick as conv3d (exact for SAME,
         # k in {1, 3}; the support gate caps wide k=3 slabs at c<=16 —
         # channel-chunked like conv3d, conv being linear in input channels)
+        from coma_unet_tpu.ops.pallas.conv3d_p1 import (
+            p1_supported,
+            pallas_conv3d_p1_b,
+        )
+
         wd = x.shape[-1]
         pad = (-wd) % 128 if wd > 128 else 0
         pshape = x.shape[:-1] + (wd + pad,)
+        use_p1 = (k == 3 and pad == 0 and "p1" not in disabled
+                  and os.environ.get("COMA_S1_PHASE", "1") != "0")
+        # (cond_conv3d is only reached when _on_tpu() — see the early gate)
         for parts in (1, 2, 4):
             if cin % parts:
                 continue
-            if not pallas_conv3d_supported(
-                (x.shape[0], cin // parts) + pshape[2:], k, strides,
-                is_transposed=False,
+            chunk_shape = (x.shape[0], cin // parts) + pshape[2:]
+            p1_ok = use_p1 and p1_supported(chunk_shape, cout)
+            if not p1_ok and not pallas_conv3d_supported(
+                chunk_shape, k, strides, is_transposed=False,
             ):
                 continue
             ch = cin // parts
@@ -532,8 +557,12 @@ def cond_conv3d(
                    if pad else x)
             out = None
             for i in range(parts):
-                y = pallas_conv3d_b(xp_[:, i * ch:(i + 1) * ch],
-                                    kern[:, :, i * ch:(i + 1) * ch], k)
+                if p1_ok:
+                    y = pallas_conv3d_p1_b(xp_[:, i * ch:(i + 1) * ch],
+                                           kern[:, :, i * ch:(i + 1) * ch])
+                else:
+                    y = pallas_conv3d_b(xp_[:, i * ch:(i + 1) * ch],
+                                        kern[:, :, i * ch:(i + 1) * ch], k)
                 out = y if out is None else out + y
             return out[..., :wd] if pad else out
     return None

@@ -205,7 +205,7 @@ def _s2_fwd_v1(x: jnp.ndarray, w: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _phase_split(x: jnp.ndarray):
+def _phase_split_xla(x: jnp.ndarray):
     """[B, C, D, H, W] -> (P0, P1), each [B, C, D, H/2, W]:
     P[hp][..., h', :] = row 2h'+hp of x with W-parity grouped on lanes —
     lanes [0, W/2) = even-w pixels, lanes [W/2, W) = odd-w pixels."""
@@ -215,6 +215,19 @@ def _phase_split(x: jnp.ndarray):
         )
         for hp in (0, 1)
     )
+
+
+def _phase_split(x: jnp.ndarray, interpret: bool = False):
+    """`_phase_split_xla` via the Pallas streaming prepass on the chip:
+    every XLA formulation of the parity rearrangement (strided slice,
+    reshape+index, one-hot einsum) measures 5-8 ms at bf16[2,32,128^3] —
+    ~10x off the memory roofline and ~90% of the s2-v2 kernel's whole
+    budget (artifacts/r3/{anatomy,split}_probe.log). The prepass streams
+    slab-wise: f32 sublane reshape-split for H parity + an exact one-hot
+    MXU matmul for the W-parity lane grouping (phase_split.py)."""
+    from coma_unet_tpu.ops.pallas.phase_split import pallas_hwsplit
+
+    return pallas_hwsplit(x, interpret=interpret)
 
 
 def _w_piece(slab: jnp.ndarray, tw: int) -> jnp.ndarray:
@@ -305,7 +318,7 @@ def _s2_fwd_v2(x: jnp.ndarray, w: jnp.ndarray,
         w_spec = pl.BlockSpec((9, cout, 3 * cin),
                               lambda bi, pi: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    p0, p1 = _phase_split(x)
+    p0, p1 = _phase_split(x, interpret=interpret)
     p_count = dsz // 4
     return pl.pallas_call(
         _s2_kernel_v2,
@@ -821,7 +834,7 @@ def _dw_v2(full: jnp.ndarray, packed: jnp.ndarray, batched: bool = False,
     b, cf, dsz, h, wd = full.shape
     _, cp, p_cnt, h2, w2 = packed.shape
     assert dsz == 4 * p_cnt and h == 2 * h2 and wd == w2
-    p0, p1 = _phase_split(full)
+    p0, p1 = _phase_split(full, interpret=interpret)
     if batched:
         out_spec = pl.BlockSpec((None, 27, cp, cf),
                                 lambda bi, pi: (bi, 0, 0, 0),

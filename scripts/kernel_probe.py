@@ -172,8 +172,15 @@ def main(fams):
             pallas_conv3d_p1,
         )
 
+        from coma_unet_tpu.ops.pallas.phase_split import (
+            pallas_hsplit,
+            pallas_hwsplit,
+        )
+
         x = mk((2, 32, 128, 128, 128))
         w = mk((32, 32, 3, 3, 3))
+        timeit("hsplit prepass (pallas)", pallas_hsplit, x)
+        timeit("hwsplit prepass (pallas)", pallas_hwsplit, x)
         timeit("p1 32ch fwd", lambda x_, w_: _p1_fwd(x_, w_), x, w)
         timeit("s1 32ch fwd (base kernel)",
                lambda x_, w_: pallas_conv3d(x_, w_, 3), x, w)

@@ -39,7 +39,7 @@ from coma_unet_tpu.ops.pallas.conv3d import _shift_hw
 from coma_unet_tpu.ops.pallas.conv3d_strided import (
     _CPARAMS,
     _phase_specs,
-    _phase_split,
+    _phase_split_xla as _phase_split,
     _s2_fwd_v2,
     _w_piece,
 )
