@@ -198,6 +198,37 @@ def _on_tpu() -> bool:
         return False
 
 
+def _norm_act_ok(shape, norm: Optional[str], act: Optional[str],
+                 dropout: float, use_pallas: bool) -> bool:
+    """Gate for the fused instance-norm(+FiLM)+act Pallas path
+    (ops/pallas/norm_act.py). COMA_NORM_FUSED=0 disables; "norm" in
+    COMA_PALLAS_DISABLE disables (trace-time Mosaic-budget lever);
+    COMA_NORM_FUSED=force enables off-TPU (CPU wiring tests run the same
+    kernels in interpret mode)."""
+    from coma_unet_tpu.ops.pallas.norm_act import norm_act_supported
+
+    env = os.environ.get("COMA_NORM_FUSED", "1")
+    if env == "0" or not use_pallas or norm != "instance":
+        return False
+    if act not in (None, "none", "relu", "leakyrelu", "prelu"):
+        return False
+    if dropout > 0.0 or "norm" in _pallas_disabled():
+        return False
+    if not (_on_tpu() or env == "force"):
+        return False
+    return norm_act_supported(shape)
+
+
+def _prelu_alpha(param_dtype) -> jnp.ndarray:
+    """The torch-default shared PReLU slope as a [1] f32 array, created
+    through the SAME `PReLU(name="prelu")` submodule as the unfused path
+    (identical param tree either way): PReLU(-1) == -alpha, so the probe
+    is exact and its gradient is d(alpha)/dalpha == 1. Must be called from
+    inside the owning module's compact `__call__`."""
+    probe = jnp.full((1,), -1.0, jnp.float32)
+    return -PReLU(param_dtype=param_dtype, name="prelu")(probe)
+
+
 # The Pallas kernel families hard-code their padding (SAME for stride-1/
 # stride-2, the (1,2) transposed-SAME for t2); dispatch must verify the
 # caller actually asked for that padding or fall back to XLA.
@@ -620,6 +651,13 @@ class Convolution(nn.Module):
         y = y.astype(self.dtype)
         if self.conv_only:
             return y
+        if _norm_act_ok(y.shape, self.norm, self.act, self.dropout,
+                        self.use_pallas):
+            from coma_unet_tpu.ops.pallas.norm_act import norm_act
+
+            alpha = (_prelu_alpha(self.param_dtype)
+                     if self.act == "prelu" else None)
+            return norm_act(y, alpha, self.act)
         y = Norm(kind=self.norm, axis_name=self.axis_name,
                  param_dtype=self.param_dtype, name="norm")(y, train=train)
         if self.dropout > 0.0:
@@ -748,6 +786,25 @@ class CondConvolution(nn.Module):
         y = y.astype(self.dtype)
         if self.conv_only:
             return y
+        if _norm_act_ok(y.shape, self.norm, self.act, self.dropout,
+                        self.use_pallas):
+            # fused instance-norm + FiLM + act: the per-(b,c) scale/shift
+            # ride the kernel's aux block (ops/pallas/norm_act.py), so the
+            # whole post-conv chain is two streamed passes
+            from coma_unet_tpu.ops.pallas.norm_act import norm_act
+
+            scale = shift = None
+            if self.film:
+                film = nn.Dense(
+                    2 * self.out_channels, dtype=jnp.float32,
+                    param_dtype=self.param_dtype,
+                    kernel_init=nn.initializers.zeros, name="film",
+                )(cov)
+                sc, shift = jnp.split(film, 2, axis=-1)
+                scale = 1.0 + sc
+            alpha = (_prelu_alpha(self.param_dtype)
+                     if self.act == "prelu" else None)
+            return norm_act(y, alpha, self.act, scale, shift)
         y = Norm(kind=self.norm, axis_name=self.axis_name,
                  param_dtype=self.param_dtype, name="norm")(y, train=train)
         if self.film:
