@@ -70,20 +70,31 @@ def _interp(interpret: bool) -> bool:
 def _w_taps_p1(w: jnp.ndarray) -> jnp.ndarray:
     """[Cout, Cin, 3, 3, 3] -> [9(kh,kw), _Q*Cout, _NSLOT*Cin] f32 with the
     3-of-6 slot structure (row q tap td reads slot j = q + td); leading B
-    dim passes through (per-sample CondConv kernels)."""
+    dim passes through (per-sample CondConv kernels).
+
+    Built from pure concats of weight slices and zero blocks — NO
+    scatter/.at[].add: the VJP calls `_p1_fwd(g, flip(w))`, and XLA's TPU
+    fusion emitter aborts (fusion_emitter.cc `window.pad_low[i] == 0`)
+    when it folds that `reverse` into the pad ops a zeros-scatter lowers
+    to (minimal repro: grad of pallas_conv3d_p1_b at [2,32,128^3])."""
     batched = w.ndim == 6
     cout, cin = w.shape[-5], w.shape[-4]
     lead = w.shape[:1] if batched else ()
-    wt = jnp.zeros(lead + (9, _Q, cout, _NSLOT, cin), jnp.float32)
     wf = w.astype(jnp.float32)
+    zeros = jnp.zeros(lead + (cout, cin), jnp.float32)
+    taps = []
     for kh in range(3):
         for kw in range(3):
-            tap = kh * 3 + kw
-            for td in range(3):
-                blk = wf[..., :, :, td, kh, kw]  # [(B,) Cout, Cin]
-                for q in range(_Q):
-                    wt = wt.at[..., tap, q, :, q + td, :].add(blk)
-    return wt.reshape(lead + (9, _Q * cout, _NSLOT * cin))
+            rows = []
+            for q in range(_Q):
+                blocks = [
+                    wf[..., :, :, slot - q, kh, kw]
+                    if 0 <= slot - q <= 2 else zeros
+                    for slot in range(_NSLOT)
+                ]
+                rows.append(jnp.concatenate(blocks, axis=-1))
+            taps.append(jnp.concatenate(rows, axis=-2))
+    return jnp.stack(taps, axis=-3)  # [(B,) 9, _Q*Cout, _NSLOT*Cin]
 
 
 def _slot_cat(refs, u, usize):

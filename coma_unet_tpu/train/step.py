@@ -210,12 +210,15 @@ def _retryable(e) -> bool:
     ))
 
 
-def _compile_retry(fn, tag, tries=3):
-    """First-call compile retries: the remote TPU compile helper's SIGKILL
-    is load-dependent (the same program compiled fine and died an hour
-    apart, r3). Only errors matching `_retryable` (compile-time
-    transport/helper failures, which surface BEFORE buffer donation) are
-    retried; once one call succeeds the wrapper is a passthrough."""
+def _compile_retry(fn, tag, tries=4):
+    """First-call compile retries: the remote TPU compile helper's
+    SIGKILL/SIGABRT is load-dependent (the same program compiled fine and
+    died an hour apart, r3; a 3x-in-a-row SIGABRT right after a 560 s
+    compile succeeded standalone minutes later — the helper needs time to
+    recover after big compiles, hence the escalating backoff). Only errors
+    matching `_retryable` (compile-time transport/helper failures, which
+    surface BEFORE buffer donation) are retried; once one call succeeds
+    the wrapper is a passthrough."""
     state = {"warm": False}
 
     def call(*args):
@@ -231,7 +234,7 @@ def _compile_retry(fn, tag, tries=3):
             except Exception as e:  # noqa: BLE001
                 if i == tries - 1 or not _retryable(e):
                     raise
-                _time.sleep(15)
+                _time.sleep(30 * (2 ** i))  # 30/60/120 s
 
     call.jitted = fn  # raw jit-wrapped fn, for AOT lower/memory probes
     return call

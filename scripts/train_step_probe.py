@@ -119,7 +119,7 @@ def main():
             except Exception as e:  # noqa: BLE001
                 print(f"{tag}: attempt {i+1} failed: {str(e)[:200]}",
                       flush=True)
-                time.sleep(20)
+                time.sleep(30 * (2 ** i))
         raise RuntimeError(f"{tag}: all {attempts} attempts failed")
 
     segs = getattr(step, "segments", None)
