@@ -28,6 +28,11 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from coma_unet_tpu.utils.compile_cache import prune_compile_cache  # noqa: E402
+
+prune_compile_cache()  # big cached-executable loads hang the relay
+
 _START = time.time()
 _AUX_PATH = os.path.join(os.path.dirname(__file__), "BENCH_AUX.json")
 _AUX: dict = {}

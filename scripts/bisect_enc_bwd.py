@@ -72,7 +72,34 @@ def main():
 
     rng_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
     mode = sys.argv[1] if len(sys.argv) > 1 else "bwd"
-    if mode == "bwd":
+    if mode == "enc":
+        fn = jax.jit(_enc)
+        args = (params_abs, batch_abs, rng_abs)
+    elif mode == "dec":
+        from coma_unet_tpu.config import LossConfig
+        from coma_unet_tpu.losses.composite import GenerativeContrastiveLoss
+
+        criterion = GenerativeContrastiveLoss(LossConfig())
+
+        def _dec_loss(params, b, feats, roi_weights, rng):
+            outs = model.apply(
+                {"params": params}, b["mri"], b["covars"],
+                b.get("roi_loc"), b.get("roi_std"), b.get("roi_compact"),
+                train=True, with_projections=True, rngs={"dropout": rng},
+                stage="decoder", encoder_feats=feats,
+            )
+            losses = criterion(
+                outs.out, b["tau"], b["roi_compact"], roi_weights,
+                rnc_features=outs.projections[-1], rnc_labels=b["covars"],
+                voxel_weights=None, valid=b.get("valid_mask"),
+            )
+            return losses.total, {"loss": losses.total}
+
+        fn = jax.jit(jax.value_and_grad(_dec_loss, argnums=(0, 2),
+                                        has_aux=True))
+        roi_abs = jax.ShapeDtypeStruct((36,), jnp.float32)
+        args = (params_abs, batch_abs, feats_abs, roi_abs, rng_abs)
+    elif mode == "bwd":
         def _enc_bwd(params, b, rng, g_feats):
             _, vjp_fn = jax.vjp(lambda p: _enc(p, b, rng), params)
             return vjp_fn(g_feats)[0]

@@ -24,6 +24,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 import jax
+
+from coma_unet_tpu.utils.compile_cache import prune_compile_cache
+
+prune_compile_cache()  # big cached-executable loads hang the relay
 import jax.numpy as jnp
 import numpy as np
 

@@ -16,6 +16,10 @@ import time
 sys.path.insert(0, ".")
 
 import jax
+
+from coma_unet_tpu.utils.compile_cache import prune_compile_cache
+
+prune_compile_cache()  # big cached-executable loads hang the relay
 import jax.numpy as jnp
 import numpy as np
 

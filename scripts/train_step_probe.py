@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from coma_unet_tpu.utils.compile_cache import prune_compile_cache
+
+prune_compile_cache()  # big cached-executable loads hang the relay
+
 
 def cached_flagship_variables(model, batch):
     from flax import serialization
@@ -179,6 +183,26 @@ def main():
             fetch(out)
             ms = (time.time() - t0) / n * 1000
             print(f"  segment {name:8s}: {ms:8.1f} ms", flush=True)
+
+        # Alternation probes: same-program redispatch is fast, but the full
+        # 3-program chain can hit a relay-side executable re-upload anomaly
+        # (~54 s/step when the executables outgrow the relay cache —
+        # mono_v2_probe had the same signature with one huge program).
+        # Pairwise alternation separates "cache holds 2 but not 3" from
+        # "every program swap re-uploads".
+        pairs = [("enc_fwd", "dec_grad"), ("dec_grad", "enc_bwd_update"),
+                 ("enc_fwd", "enc_bwd_update")]
+        for a, b in pairs:
+            na = 3
+            fetch(calls[a]()); fetch(calls[b]())  # noqa: E702 — warm pair
+            t0 = time.time()
+            out = None
+            for _ in range(na):
+                calls[a]()
+                out = calls[b]()
+            fetch(out)
+            ms = (time.time() - t0) / na * 1000
+            print(f"  alternate {a}<->{b}: {ms:8.1f} ms/pair", flush=True)
 
 
 if __name__ == "__main__":
