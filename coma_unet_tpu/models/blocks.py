@@ -204,10 +204,19 @@ def _norm_act_ok(shape, norm: Optional[str], act: Optional[str],
     (ops/pallas/norm_act.py). COMA_NORM_FUSED=0 disables; "norm" in
     COMA_PALLAS_DISABLE disables (trace-time Mosaic-budget lever);
     COMA_NORM_FUSED=force enables off-TPU (CPU wiring tests run the same
-    kernels in interpret mode)."""
+    kernels in interpret mode). A scoped `kernel_policy(norm_fused=...)`
+    (ops/pallas/policy.py) overrides the env — the split train step uses
+    it to keep the fused op only in segments where its Mosaic bytes fit
+    the relay executable-cache budget."""
     from coma_unet_tpu.ops.pallas.norm_act import norm_act_supported
+    from coma_unet_tpu.ops.pallas.policy import policy_norm_fused
 
     env = os.environ.get("COMA_NORM_FUSED", "1")
+    pol = policy_norm_fused()
+    if pol is not None:
+        # keep "force" semantics (off-TPU interpret tests) when the policy
+        # re-enables under a force env
+        env = ("force" if env == "force" else "1") if pol else "0"
     if env == "0" or not use_pallas or norm != "instance":
         return False
     if act not in (None, "none", "relu", "leakyrelu", "prelu"):

@@ -300,12 +300,15 @@ def pallas_disabled_families() -> set:
     a disabled family contributes NO Mosaic program anywhere — dispatch
     (models/blocks.py) AND the custom VJPs' cross-kernel substitutions
     (conv3d_strided.py) both consult this single parser, so they can never
-    disagree about which families are live."""
+    disagree about which families are live. A scoped `kernel_policy`
+    (ops/pallas/policy.py) adds per-segment disables on top of the env."""
     import os
+
+    from coma_unet_tpu.ops.pallas.policy import policy_disabled_families
 
     return set(
         filter(None, os.environ.get("COMA_PALLAS_DISABLE", "").split(","))
-    )
+    ) | set(policy_disabled_families())
 
 
 def pallas_conv3d_supported(x_shape, k: int, strides, is_transposed: bool,

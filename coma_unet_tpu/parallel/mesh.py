@@ -234,9 +234,13 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
     from coma_unet_tpu.losses.roi_losses import roi_mse
     from coma_unet_tpu.train.step import (
         _compile_retry,
+        _with_policy,
+        default_segment_policies,
         optax_global_norm,
         train_remat_variant,
     )
+
+    seg_policies = default_segment_policies()
 
     cfg = loss_config
     if not cfg.rnc:
@@ -324,18 +328,24 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
             (P(), P()),
         )(state, batch, rng, g_feats, g_dec)
 
-    enc_fwd = _compile_retry(jax.jit(_enc_fwd), "sharded_enc_fwd")
-    dec_grad = _compile_retry(
+    def _seg(fn, name):
+        # same per-segment kernel-family mix as the single-device split
+        # step (relay executable-cache budget, train/step.py)
+        return _with_policy(_compile_retry(fn, "sharded_" + name),
+                            seg_policies.get(name))
+
+    enc_fwd = _seg(jax.jit(_enc_fwd), "enc_fwd")
+    dec_grad = _seg(
         jax.jit(_dec_grad, donate_argnums=(1,) if donate else ()),
-        "sharded_dec_grad")
+        "dec_grad")
     if fold_update is None:
         import os
 
         fold_update = os.environ.get("COMA_SPLIT_FOLD", "1") == "1"
     if fold_update:
-        enc_bwd_update = _compile_retry(
+        enc_bwd_update = _seg(
             jax.jit(_ebu, donate_argnums=(0, 3, 4) if donate else ()),
-            "sharded_enc_bwd_update")
+            "enc_bwd_update")
     else:
         # unfolded (4-program) variant for large volumes — mirrors
         # train.step.make_split_train_step(fold_update=False): folding the
@@ -359,12 +369,12 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
             gn = optax_global_norm(grads)
             return new_state, (gn, grads) if return_grads else (gn,)
 
-        enc_bwd = _compile_retry(
+        enc_bwd = _seg(
             jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()),
-            "sharded_enc_bwd")
-        upd = _compile_retry(
+            "enc_bwd")
+        upd = _seg(
             jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
-            "sharded_update")
+            "update")
 
         def enc_bwd_update(state, batch, rng, g_feats, g_dec):
             g_enc = enc_bwd(state.params, batch, rng, g_feats)

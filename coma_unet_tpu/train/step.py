@@ -289,6 +289,60 @@ def split_step_supported(model, loss_config: LossConfig) -> bool:
         return False
 
 
+def default_segment_policies() -> Dict[str, object]:
+    """The split step's per-segment kernel-family mix.
+
+    The relay keeps compiled executables in a SIZE-bounded cache: a
+    3-program chain over the cap re-uploads an executable on EVERY
+    dispatch (~106 s/step vs the 260 ms sum of segment solos —
+    artifacts/r3/alternation_probe.log). Measured brackets (r3): every
+    segment PAIR alternates at the sum of its solo times (largest pair
+    78.9 MB), while the 89.2 MB norm-off triple still thrashes
+    (split_normoff_probe.log) — so the chain budget is < 89 MB and
+    >= 79 MB is unproven; the proven-good configuration is the pre-p1,
+    pre-norm-fusion kernel family (280.4 ms/step, BENCH_AUX r3).
+
+    Default: disable the two post-close families (p1, fused norm) inside
+    every split segment — reproducing the proven chain — while leaving
+    single-program surfaces (inference forward, monolithic step) on the
+    full family set, where there is no alternation to thrash.
+    `COMA_SPLIT_POLICY` (ops/pallas/policy.py:parse_segment_policies)
+    overrides, e.g. "dec_grad:norm=0;enc_bwd_update:norm=0,p1"."""
+    import os
+
+    from coma_unet_tpu.ops.pallas.policy import (
+        KernelPolicy,
+        parse_segment_policies,
+    )
+
+    spec = os.environ.get("COMA_SPLIT_POLICY")
+    if spec is not None:
+        return parse_segment_policies(spec)
+    lean = KernelPolicy(disable={"p1"}, norm_fused=False)
+    return {
+        "enc_fwd": lean,
+        "dec_grad": lean,
+        "dec_bwd_update": lean,
+        "enc_bwd_update": lean,
+        "enc_bwd": lean,
+        "update": lean,
+    }
+
+
+def _with_policy(fn, policy):
+    """Run every invocation of `fn` under `policy` so first-call tracing
+    (and any retrace on new shapes) sees the same kernel-family mix."""
+    if policy is None:
+        return fn
+
+    def call(*args):
+        with policy:
+            return fn(*args)
+
+    call.jitted = getattr(fn, "jitted", fn)
+    return call
+
+
 def make_split_train_step(
     model,
     loss_config: LossConfig,
@@ -296,8 +350,18 @@ def make_split_train_step(
     return_grads: bool = False,
     remat_blocks: Optional[bool] = None,
     fold_update: Optional[bool] = None,
+    segment_policies: Optional[Dict[str, object]] = None,
+    merge_bwd: Optional[bool] = None,
 ) -> Callable:
-    """Train step compiled as FOUR chained XLA programs instead of one:
+    """Train step compiled as TWO to FOUR chained XLA programs instead of
+    one. Default (merge_bwd, 128^3-class): TWO programs —
+
+        enc_fwd       : params, batch, rng        -> encoder feats
+        dec_bwd_update: state, feats, batch, ...  -> new state, aux
+
+    (the merged program differentiates decoder+loss, replays the encoder
+    forward under vjp, and applies the AdamW update). Large-volume configs
+    (fold_update=False) unfold into FOUR programs for HBM:
 
         enc_fwd : params, batch, rng              -> encoder feats
         dec_grad: params, feats, batch, ...       -> loss aux, d(params), d(feats)
@@ -323,10 +387,12 @@ def make_split_train_step(
     criterion = GenerativeContrastiveLoss(loss_config)
     if not loss_config.rnc:
         raise ValueError("make_split_train_step supports the RnC path only")
-    if fold_update is None:
-        import os
+    import os
 
+    if fold_update is None:
         fold_update = os.environ.get("COMA_SPLIT_FOLD", "1") == "1"
+    if merge_bwd is None:
+        merge_bwd = os.environ.get("COMA_SPLIT_MERGE", "1") == "1"
 
     # Block-level remat inside the segments only re-buys compute (~70 ms at
     # b=2 128^3) for ~2 GB of activations that fit HBM comfortably — see
@@ -360,8 +426,70 @@ def make_split_train_step(
         }
         return losses.total, aux
 
-    enc_fwd = _compile_retry(jax.jit(_enc), "enc_fwd")
-    dec_grad = _compile_retry(jax.jit(
+    if segment_policies is None:
+        segment_policies = default_segment_policies()
+
+    def _seg(fn, name):
+        return _with_policy(_compile_retry(fn, name),
+                            segment_policies.get(name))
+
+    enc_fwd = _seg(jax.jit(_enc), "enc_fwd")
+
+    if merge_bwd and fold_update:
+        # TWO-program variant (the default): enc_fwd + ONE merged
+        # decoder-grad/encoder-bwd/update program. The relay's executable
+        # budget is dynamic (helper crash-restarts shrink it): post-crash
+        # it held every 2-program alternation at the sum of solo times
+        # (even 91 MB) while EVERY 3-program chain thrashed — including
+        # the lean 62.5 MB triple at 32.7 s/step
+        # (artifacts/r3/split_lean_probe.log). Merging costs no extra
+        # compute (same ops, one module) and stays under the helper's
+        # compile budget with the lean per-segment policy. Large-volume
+        # configs (fold_update=False, 216^3) keep the 4-program chain:
+        # their HBM peak needs the smaller programs, and at 2.5 s/step
+        # the thrash re-upload is a smaller relative cost.
+        def _dec_bwd_update(state, feats, batch, roi_weights, rng,
+                            voxel_weights):
+            (_, aux), (g_dec, g_feats) = jax.value_and_grad(
+                _dec_loss, argnums=(0, 1), has_aux=True
+            )(state.params, feats, batch, roi_weights, rng, voxel_weights)
+            _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
+            g_enc = vjp_fn(g_feats)[0]
+            grads = jax.tree.map(jnp.add, g_dec, g_enc)
+            new_state = state.apply_gradients(grads)
+            aux = dict(aux)
+            aux["grad_norm"] = optax_global_norm(grads)
+            if return_grads:
+                aux["grads"] = grads
+            return new_state, aux
+
+        dec_bwd_update = _seg(
+            jax.jit(_dec_bwd_update,
+                    donate_argnums=(0, 1) if donate else ()),
+            "dec_bwd_update")
+
+        def train_step(
+            state: TrainState,
+            batch: Dict[str, jnp.ndarray],
+            roi_weights: jnp.ndarray,
+            rng: jax.Array,
+            voxel_weights: jnp.ndarray = None,
+        ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+            if state.batch_stats:
+                raise ValueError(
+                    "split train step does not thread batch_stats; use "
+                    "norm='instance' or the monolithic make_train_step"
+                )
+            feats = enc_fwd(state.params, batch, rng)
+            return dec_bwd_update(state, feats, batch, roi_weights, rng,
+                                  voxel_weights)
+
+        train_step.segments = {
+            "enc_fwd": enc_fwd, "dec_bwd_update": dec_bwd_update,
+        }
+        return train_step
+
+    dec_grad = _seg(jax.jit(
         jax.value_and_grad(_dec_loss, argnums=(0, 1), has_aux=True),
         donate_argnums=(1,) if donate else (),
     ), "dec_grad")
@@ -378,7 +506,7 @@ def make_split_train_step(
             gn = optax_global_norm(grads)
             return new_state, (gn, grads) if return_grads else (gn,)
 
-        enc_bwd_update = _compile_retry(
+        enc_bwd_update = _seg(
             jax.jit(_enc_bwd_update,
                     donate_argnums=(0, 3, 4) if donate else ()),
             "enc_bwd_update")
@@ -401,10 +529,10 @@ def make_split_train_step(
             gn = optax_global_norm(grads)
             return new_state, (gn, grads) if return_grads else (gn,)
 
-        enc_bwd = _compile_retry(
+        enc_bwd = _seg(
             jax.jit(_enc_bwd, donate_argnums=(3,) if donate else ()),
             "enc_bwd")
-        upd = _compile_retry(
+        upd = _seg(
             jax.jit(_update, donate_argnums=(0, 1, 2) if donate else ()),
             "update")
 

@@ -128,7 +128,16 @@ def main():
 
     segs = getattr(step, "segments", None)
     key = jax.random.PRNGKey(1)
-    if segs:
+    merged = bool(segs) and "dec_bwd_update" in segs
+    if merged:
+        feats = retry("warm enc_fwd",
+                      lambda: segs["enc_fwd"](state.params, batch, key))
+        # warm on a THROWAWAY state copy (donate=False in probes, but keep
+        # the real state untouched for the timed steps)
+        retry("warm dec_bwd_update",
+              lambda: segs["dec_bwd_update"](state, feats, batch, roi_w,
+                                             key, None))
+    elif segs:
         # warm each compiled program individually (the helper handles one
         # program at a time far more reliably than a back-to-back chain)
         feats = retry("warm enc_fwd",
@@ -167,13 +176,22 @@ def main():
             leaf = jax.tree.leaves(out)[0]
             return float(jnp.sum(leaf.astype(jnp.float32)))
 
-        calls = {
-            "enc_fwd": lambda: segs["enc_fwd"](state.params, batch, key),
-            "dec_grad": lambda: segs["dec_grad"](
-                state.params, feats, batch, roi_w, key, None),
-            "enc_bwd_update": lambda: segs["enc_bwd_update"](
-                state, batch, key, g_feats, g_dec),
-        }
+        if merged:
+            calls = {
+                "enc_fwd": lambda: segs["enc_fwd"](state.params, batch,
+                                                   key),
+                "dec_bwd_update": lambda: segs["dec_bwd_update"](
+                    state, feats, batch, roi_w, key, None),
+            }
+        else:
+            calls = {
+                "enc_fwd": lambda: segs["enc_fwd"](state.params, batch,
+                                                   key),
+                "dec_grad": lambda: segs["dec_grad"](
+                    state.params, feats, batch, roi_w, key, None),
+                "enc_bwd_update": lambda: segs["enc_bwd_update"](
+                    state, batch, key, g_feats, g_dec),
+            }
         for name, call in calls.items():
             fetch(call())  # warm
             t0 = time.time()
@@ -190,8 +208,9 @@ def main():
         # mono_v2_probe had the same signature with one huge program).
         # Pairwise alternation separates "cache holds 2 but not 3" from
         # "every program swap re-uploads".
-        pairs = [("enc_fwd", "dec_grad"), ("dec_grad", "enc_bwd_update"),
-                 ("enc_fwd", "enc_bwd_update")]
+        pairs = ([("enc_fwd", "dec_bwd_update")] if merged else
+                 [("enc_fwd", "dec_grad"), ("dec_grad", "enc_bwd_update"),
+                  ("enc_fwd", "enc_bwd_update")])
         for a, b in pairs:
             na = 3
             fetch(calls[a]()); fetch(calls[b]())  # noqa: E702 — warm pair

@@ -169,7 +169,7 @@ def test_split_step_unfolded_update_matches(split_model_config, rng,
     roi_w = jnp.full((36,), 225.0)
     step_rng = jax.random.PRNGKey(9)
     folded = make_split_train_step(model, lcfg, donate=False,
-                                   fold_update=True)
+                                   fold_update=True, merge_bwd=False)
     unfolded = make_split_train_step(model, lcfg, donate=False,
                                      fold_update=False)
     assert {"enc_bwd", "update"} <= set(unfolded.segments)
@@ -186,6 +186,55 @@ def test_split_step_unfolded_update_matches(split_model_config, rng,
         np.testing.assert_allclose(
             wu, wf, rtol=1e-6, atol=1e-7,
             err_msg=f"param mismatch at {jax.tree_util.keystr(pf)}",
+        )
+
+
+def test_split_step_merged_matches_three_program(split_model_config, rng,
+                                                 monkeypatch):
+    """merge_bwd=True (the 2-program default: enc_fwd + one merged
+    decoder-grad/encoder-bwd/update program, sized for the relay's dynamic
+    executable budget — every 2-program alternation runs at the sum of
+    solos while 3-program chains can thrash, split_lean_probe.log) is the
+    same math as the 3-program chain."""
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    model = ContraAttnUNet(split_model_config)
+    lcfg = LossConfig()
+    batch = make_batch(rng)
+    batch["valid_mask"] = jnp.asarray([1.0, 0.0])
+    roi_w = jnp.full((36,), 225.0)
+    step_rng = jax.random.PRNGKey(11)
+    merged = make_split_train_step(model, lcfg, donate=False,
+                                   merge_bwd=True, return_grads=True)
+    assert set(merged.segments) == {"enc_fwd", "dec_bwd_update"}
+    three = make_split_train_step(model, lcfg, donate=False,
+                                  merge_bwd=False, return_grads=True)
+    assert "dec_grad" in three.segments
+    s_m, aux_m = merged(_state(model, batch), batch, roi_w, step_rng)
+    s_t, aux_t = three(_state(model, batch), batch, roi_w, step_rng)
+    np.testing.assert_allclose(aux_m["loss"], aux_t["loss"],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(aux_m["grad_norm"], aux_t["grad_norm"],
+                               rtol=1e-5, atol=1e-7)
+    # fusing dec-grad + enc-bwd + add into one program reorders the f32
+    # accumulation; compare params only where the grad is 10x above the
+    # measured ~3e-6 noise floor (same rationale as the monolithic test)
+    for ((pt, wt), (_, wm), (_, gm)) in zip(
+        jax.tree_util.tree_leaves_with_path(s_t.params),
+        jax.tree_util.tree_leaves_with_path(s_m.params),
+        jax.tree_util.tree_leaves_with_path(aux_t["grads"]),
+    ):
+        stable = np.abs(np.asarray(gm)) > 1e-4
+        np.testing.assert_allclose(
+            np.asarray(wm)[stable], np.asarray(wt)[stable],
+            rtol=1e-4, atol=5e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(pt)}",
+        )
+    flat_t = jax.tree_util.tree_leaves_with_path(aux_t["grads"])
+    flat_m = jax.tree_util.tree_leaves_with_path(aux_m["grads"])
+    for (pt, gt), (_, gm) in zip(flat_t, flat_m):
+        np.testing.assert_allclose(
+            gm, gt, rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pt)}",
         )
 
 
