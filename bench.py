@@ -192,19 +192,29 @@ def main() -> None:
             _ = float(aux["loss"])
             _note("train_compile_s", round(time.time() - t0, 1),
                   f"train step compile+run: {time.time()-t0:.1f}s")
-            # Warm-up: the first few post-compile steps run ~54 s each
-            # (relay-side executable warm-up; r3's split_v2_probe measured
-            # 53.3 s for the first full step vs 569 ms steady state), so
-            # timing immediately after compile averaged 32.7 s/step in
-            # r3's first bench run. Warm adaptively until a step lands
-            # under 2 s (fetch each to force execution).
-            for i in range(4):
+            # Warm-up: the first post-compile executions of the big segment
+            # executables run SECONDS each, and the tail is LONG — the r3
+            # thread-bisect probes (artifacts/r3/thread_bisect.log,
+            # split_merge_prekeys.log) measured ~250-400 s of cumulative
+            # warm-up spread over the first few dozen executions before the
+            # ~280 ms steady state; a 4-step warm cap here timed mid-warm-up
+            # numbers (18-30 s/step averages that looked like relay thrash).
+            # Warm adaptively until TWO consecutive steps land under 2 s,
+            # bounded by steps and the wall-clock budget.
+            warm_ms = []
+            fast = 0
+            for i in range(40):
                 t1 = time.time()
                 state, aux = step(state, batch, roi_w,
                                   jax.random.PRNGKey(100 + i))
                 _ = float(aux["loss"])
-                if time.time() - t1 < 2.0:
+                dt = time.time() - t1
+                warm_ms.append(round(dt * 1000, 1))
+                fast = fast + 1 if dt < 2.0 else 0
+                if fast >= 2 or _budget_left() < 120:
                     break
+            _note("train_warm_ms", warm_ms,
+                  f"train warm-up steps (ms): {warm_ms}")
             n = 5
             t0 = time.time()
             for i in range(n):

@@ -158,9 +158,36 @@ def main():
     print(f"train step compile+run: {time.time()-t0:.1f}s loss={loss0:.4f}",
           flush=True)
 
+    # COMA_PROBE_PRE_KEYS=1: materialize every per-step PRNG key BEFORE the
+    # timed loop. (Measured irrelevant — 30.5 s/step either way while warm-up
+    # lasted, artifacts/r3/split_merge_prekeys.log — kept as a lever.)
+    pre_keys = os.environ.get("COMA_PROBE_PRE_KEYS") == "1"
+    if pre_keys:
+        keys = [jax.random.PRNGKey(i) for i in range(n)]
+        jax.block_until_ready(keys)
+        print("per-step keys pre-materialized", flush=True)
+
+    # Warm-up: the first executions of the big segment executables run
+    # SECONDS each with a tail of a few DOZEN executions (~250-400 s total
+    # before the ~280 ms steady state — artifacts/r3/thread_bisect.log vs
+    # split_merge_probe{,2}.log, whose timed loops sat entirely inside the
+    # tail and read 18-47 s/step). Warm until two consecutive fast steps.
+    warm_ms, fast = [], 0
+    for i in range(40):
+        t1 = time.time()
+        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(100 + i))
+        float(aux["loss"])
+        dt = time.time() - t1
+        warm_ms.append(round(dt * 1000, 1))
+        fast = fast + 1 if dt < 2.0 else 0
+        if fast >= 2:
+            break
+    print(f"warm-up steps (ms): {warm_ms}", flush=True)
+
     t0 = time.time()
     for i in range(n):
-        state, aux = step(state, batch, roi_w, jax.random.PRNGKey(i))
+        k = keys[i] if pre_keys else jax.random.PRNGKey(i)
+        state, aux = step(state, batch, roi_w, k)
     loss = float(aux["loss"])
     per = (time.time() - t0) / n
     print(f"train step (b=2): {per*1000:.1f} ms ({2/per:.2f} samples/s), "
