@@ -73,8 +73,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     batch = _make_batch(rng, b=2, s=128)
 
+    # Fresh init's relay transfer is pathologically variable (measured 7 s to
+    # 959 s for the same pytree); restore from the msgpack param cache when
+    # present (populated by any prior bench/probe run on this checkout).
+    from coma_unet_tpu.utils.param_cache import cached_variables
+
     t0 = time.time()
-    variables = init_on_cpu(model, batch)
+    variables = cached_variables(model, batch,
+                                 lambda: init_on_cpu(model, batch))
     _note("init_s", round(time.time() - t0, 1),
           f"init (cpu + transfer): {time.time()-t0:.1f}s")
 

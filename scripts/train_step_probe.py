@@ -33,40 +33,11 @@ prune_compile_cache()  # big cached-executable loads hang the relay
 
 
 def cached_flagship_variables(model, batch):
-    from flax import serialization
-
     from __graft_entry__ import init_on_cpu
+    from coma_unet_tpu.utils.param_cache import cached_variables
 
-    # key by geometry: flax from_bytes replaces leaves wholesale, so a
-    # 216^3 run would otherwise poison the 128^3 cache (and vice versa)
-    s = batch["mri"].shape[-1]
-    path = os.path.join(os.environ["JAX_COMPILATION_CACHE_DIR"],
-                        f"flagship_vars_s{s}.msgpack")
-    if os.path.exists(path):
-        t0 = time.time()
-        target = jax.eval_shape(
-            lambda: model.init(
-                jax.random.PRNGKey(0), batch["mri"], batch["covars"],
-                batch["roi_loc"], batch["roi_std"], batch["roi_compact"],
-                train=False,
-            )
-        )
-        zeros = jax.tree.map(
-            lambda a: np.zeros(a.shape, a.dtype), target
-        )
-        with open(path, "rb") as f:
-            variables = serialization.from_bytes(zeros, f.read())
-        variables = jax.device_put(variables, jax.devices()[0])
-        print(f"params restored from cache ({time.time()-t0:.1f}s)",
-              flush=True)
-        return variables
-    t0 = time.time()
-    variables = init_on_cpu(model, batch)
-    print(f"params initialized ({time.time()-t0:.1f}s)", flush=True)
-    host = jax.tree.map(np.asarray, variables)
-    with open(path, "wb") as f:
-        f.write(serialization.to_bytes(host))
-    return variables
+    return cached_variables(model, batch,
+                            lambda: init_on_cpu(model, batch))
 
 
 def main():
