@@ -110,7 +110,11 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
         truncated_cds,
     )
     from coma_unet_tpu.losses.roi_losses import roi_mse
-    from coma_unet_tpu.train.step import _apply, optax_global_norm
+    from coma_unet_tpu.train.step import (
+        _apply,
+        optax_global_norm,
+        pack_host_metrics,
+    )
 
     cfg = loss_config
     n_shards = mesh.shape["data"]
@@ -196,6 +200,7 @@ def make_sharded_train_step(model, loss_config: LossConfig, mesh: Mesh,
         for k in ("tcds_loss", "pred_space_loss"):
             aux[k] = jax.lax.psum(jax.lax.stop_gradient(aux[k]), "data")
         aux["grad_norm"] = optax_global_norm(grads)
+        pack_host_metrics(aux)  # after the psums: fused leaf = global values
         if return_grads:
             aux["grads"] = grads  # psum'd (replicated) — test/debug only
         return new_state, aux
@@ -237,6 +242,7 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
         _with_policy,
         default_segment_policies,
         optax_global_norm,
+        pack_host_metrics,
         train_remat_variant,
     )
 
@@ -302,6 +308,7 @@ def make_sharded_split_train_step(model, loss_config: LossConfig, mesh: Mesh,
             "tcds_loss": jax.lax.stop_gradient(tcds_full),
             "pred_space_loss": jnp.asarray(0.0, jnp.float32),
         }
+        pack_host_metrics(aux)  # post-psum/gather values: global metrics
         return aux, jax.lax.psum(g_dec, "data"), g_feats
 
     def _dec_grad(params, feats, batch, roi_weights, rng, voxel_weights):

@@ -287,9 +287,16 @@ def train(
                                         voxel_weights)
             else:
                 state, aux = train_step(state, db, roi_weights, sub)
-            bl = float(aux["loss"])
-            gen = np.asarray(aux["gen_loss"])  # per-sample
-            tcds = float(aux["tcds_loss"])
+            hm = aux.get("host_metrics")
+            if hm is not None:
+                # one fused [2+B] leaf = ONE ~28 ms relay fetch per step
+                # instead of three (pack_host_metrics, train/step.py)
+                hm = np.asarray(hm)
+                bl, tcds, gen = float(hm[0]), float(hm[1]), hm[2:]
+            else:
+                bl = float(aux["loss"])
+                gen = np.asarray(aux["gen_loss"])  # per-sample
+                tcds = float(aux["tcds_loss"])
             valid = batch.get("valid")
             valid = (np.ones(gen.shape[0], bool) if valid is None
                      else np.asarray(valid).reshape(-1).astype(bool))

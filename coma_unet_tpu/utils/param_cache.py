@@ -11,6 +11,7 @@ change that alters parameter shapes makes `from_bytes` raise).
 """
 
 import os
+import sys
 import time
 from typing import Callable, Optional
 
@@ -55,16 +56,17 @@ def cached_variables(
             variables = jax.device_put(variables, jax.devices()[0])
             if verbose:
                 print(f"params restored from cache ({time.time()-t0:.1f}s)",
-                      flush=True)
+                      file=sys.stderr, flush=True)
             return variables
         except Exception as e:  # noqa: BLE001 — stale cache: re-init
             if verbose:
                 print(f"param cache unusable ({str(e)[:120]}); re-init",
-                      flush=True)
+                      file=sys.stderr, flush=True)
     t0 = time.time()
     variables = init_fn()
     if verbose:
-        print(f"params initialized ({time.time()-t0:.1f}s)", flush=True)
+        print(f"params initialized ({time.time()-t0:.1f}s)",
+              file=sys.stderr, flush=True)
     try:
         host = jax.tree.map(np.asarray, variables)
         os.makedirs(cache_dir, exist_ok=True)
