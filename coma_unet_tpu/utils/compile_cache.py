@@ -24,7 +24,16 @@ import sys
 def prune_compile_cache(cache_dir: str | None = None,
                         max_mb: float = 16.0) -> int:
     """Delete persistent-cache entries larger than `max_mb`. Returns the
-    number of files removed. No-op when the dir is unset/missing."""
+    number of files removed. No-op when the dir is unset/missing.
+
+    `COMA_CACHE_PRUNE_MB` overrides `max_mb`; 0 (or negative) disables
+    pruning entirely — the probe lever for re-testing whether the relay's
+    big-executable load path still hangs."""
+    env_cap = os.environ.get("COMA_CACHE_PRUNE_MB")
+    if env_cap is not None:
+        max_mb = float(env_cap)
+        if max_mb <= 0:
+            return 0
     cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache_dir or not os.path.isdir(cache_dir):
         return 0
