@@ -29,7 +29,7 @@ import numpy as np
 
 from coma_unet_tpu.utils.compile_cache import prune_compile_cache
 
-prune_compile_cache()  # big cached-executable loads hang the relay
+prune_compile_cache()  # evict runaway-sized entries (cap 96 MB, see util)
 
 
 def cached_flagship_variables(model, batch):
