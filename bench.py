@@ -31,7 +31,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from coma_unet_tpu.utils.compile_cache import prune_compile_cache  # noqa: E402
 
-prune_compile_cache()  # evict runaway-sized entries (cap 96 MB, see util)
+prune_compile_cache()  # big-entry ingest has a slow tail; keep small hits (see util)
 
 _START = time.time()
 _AUX_PATH = os.path.join(os.path.dirname(__file__), "BENCH_AUX.json")

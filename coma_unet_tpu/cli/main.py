@@ -509,7 +509,7 @@ def cmd_infer(args) -> int:
 def main(argv: Optional[list] = None) -> int:
     from coma_unet_tpu.utils.compile_cache import prune_compile_cache
 
-    prune_compile_cache()  # evict runaway-sized entries (cap 96 MB, see util)
+    prune_compile_cache()  # big-entry ingest has a slow tail; keep small hits (see util)
     args = build_parser().parse_args(argv)
     if args.command == "train":
         return cmd_train(args)

@@ -212,26 +212,27 @@ def _retryable(e) -> bool:
 
 
 def _compile_retry(fn, tag, tries=4):
-    """First-call compile retries: the remote TPU compile helper's
+    """Compile retries on EVERY call: the remote TPU compile helper's
     SIGKILL/SIGABRT is load-dependent (the same program compiled fine and
     died an hour apart, r3; a 3x-in-a-row SIGABRT right after a 560 s
     compile succeeded standalone minutes later — the helper needs time to
     recover after big compiles, hence the escalating backoff). Only errors
     matching `_retryable` (compile-time transport/helper failures, which
-    surface BEFORE buffer donation) are retried; once one call succeeds
-    the wrapper is a passthrough."""
-    state = {"warm": False}
+    surface BEFORE buffer donation) are retried.
+
+    Not just the first call: the step's second invocation RE-LOWERS with
+    the executable-produced input layouts and compiles a second program
+    (ROUND_NOTES "Persistent compile cache" §3), and that compile is as
+    SIGKILL-prone as the first — a warm-gated passthrough left it
+    unprotected and cost bench r3 its train-step section
+    (artifacts: /tmp/bench_cachewarm.log, one SIGKILL, zero retries)."""
 
     def call(*args):
-        if state["warm"]:
-            return fn(*args)
         import time as _time
 
         for i in range(tries):
             try:
-                out = fn(*args)
-                state["warm"] = True
-                return out
+                return fn(*args)
             except Exception as e:  # noqa: BLE001
                 if i == tries - 1 or not _retryable(e):
                     raise

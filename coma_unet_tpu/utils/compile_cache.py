@@ -1,27 +1,30 @@
 """Persistent-compile-cache hygiene for the axon TPU relay.
 
-The JAX persistent cache works through the remote-compile tunnel, and —
-re-measured late r3 after a relay restart — big-entry loads now work
-too: the 58 MB dec_bwd_update executable deserializes in ~2-10 s
-(client-side cache HIT logged) instead of recompiling for 230-370 s
-(artifacts/r3/cache_hit_probe.log, cache_hit2_probe.log). The first
-DISPATCH of a client-loaded big executable still pays a one-time
-~270-410 s relay-side ingest per process, but end-to-end that converts
-a ~16-19 min cold start into ~5 min warm — so large entries are now
-KEPT by default.
+Small entries are a pure win: the 6.9 MB encoder program HITS and is
+ready in ~1 s. Large entries are a GAMBLE (measured late r3,
+artifacts/r3/cache_hit{,2}_probe.log + /tmp/bench_cachewarm{,2}.log):
+the client-side deserialize is fast (2-13 s), but the first dispatch of
+a client-loaded executable must ship it to the relay, and that ingest is
+HIGH-VARIANCE — 16 s when the relay still retains the same bytes from a
+previous remote compile (content dedup), 267-409 s for the 58 MB merged
+train-step program on a cold relay, and 1181 s ONCE for the 32 MB
+forward — i.e. it can cost 3x a fresh remote compile (356 s). An
+unattended bench run cannot afford the bad tail, so entries above the
+default cap are pruned before TPU sessions; fresh compiles still WRITE
+big entries (the write path is harmless).
 
-History: an earlier relay build WEDGED on exactly these loads (the run
-hung >20 min on a 58 MB hit while recompiling took 550 s —
-artifacts/r3/alternation_probe.log era), which is why this prune exists.
-The cap now only evicts pathological entries (failed giant experiments);
-`COMA_CACHE_PRUNE_MB` restores the old behavior if the hang returns.
+Override: `COMA_CACHE_PRUNE_MB` sets the cap; <= 0 disables pruning —
+worth it for same-session iteration where relay retention makes big
+hits nearly free. (An earlier relay build WEDGED outright on big-entry
+loads; that hang is gone post-restart — loads now always complete, the
+tail is just slow.)
 
 Cache-key stability caveat (measured, scripts/module_hash_probe.py):
 Mosaic kernel payloads serialize caller file:line locations inside the
 opaque tpu_custom_call backend_config, which jax's key canonicalization
 cannot strip — so ANY source edit in the trace call stack changes the
-key. Entries only hit while the repo's traced code is byte-identical to
-when they were written; stale entries are harmless misses.
+key. Entries only hit while the traced code is byte-identical to when
+they were written; stale entries are harmless misses.
 """
 
 from __future__ import annotations
@@ -31,14 +34,14 @@ import sys
 
 
 def prune_compile_cache(cache_dir: str | None = None,
-                        max_mb: float = 96.0) -> int:
+                        max_mb: float = 16.0) -> int:
     """Delete persistent-cache entries larger than `max_mb`. Returns the
     number of files removed. No-op when the dir is unset/missing.
 
-    Default 96 MB keeps every production program (largest: the 58 MB
-    merged dec_bwd_update) while evicting runaway experiments.
-    `COMA_CACHE_PRUNE_MB` overrides `max_mb`; 0 (or negative) disables
-    pruning entirely."""
+    Default 16 MB: every load at or below the 15 MB forward entry has
+    measured fast; the 32/58 MB entries hit the slow-ingest tail (see
+    module docstring). `COMA_CACHE_PRUNE_MB` overrides; 0 (or negative)
+    disables pruning."""
     env_cap = os.environ.get("COMA_CACHE_PRUNE_MB")
     if env_cap is not None:
         max_mb = float(env_cap)
@@ -62,7 +65,8 @@ def prune_compile_cache(cache_dir: str | None = None,
     if removed:
         print(
             f"pruned {removed} oversized compile-cache entries "
-            f"(> {max_mb:.0f} MB)",
+            f"(> {max_mb:.0f} MB: big-executable ingest through the relay "
+            f"is slower than recompiling in the bad tail)",
             file=sys.stderr, flush=True,
         )
     return removed

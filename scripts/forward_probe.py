@@ -27,7 +27,7 @@ import jax
 
 from coma_unet_tpu.utils.compile_cache import prune_compile_cache
 
-prune_compile_cache()  # evict runaway-sized entries (cap 96 MB, see util)
+prune_compile_cache()  # big-entry ingest has a slow tail; keep small hits (see util)
 import jax.numpy as jnp
 import numpy as np
 
