@@ -260,6 +260,43 @@ def train(
         wait_s = step_s = 0.0
         _it = iter(train_loader)
         batch_idx = -1
+        pending = None  # (aux, valid[B], abeta[B], batch_idx) of step i-1
+
+        def _consume(item):
+            # Fetch + book the PREVIOUS step's metrics. Deferred one step
+            # so the ~28 ms relay round trip of the fetch overlaps the
+            # device executing the step dispatched just above — fetching
+            # right after the dispatch idles the chip for the full floor
+            # every step (~10% of a 278 ms step). Values are exact; they
+            # are just consumed one iteration later.
+            nonlocal epoch_loss, epoch_gen, epoch_tcds, n
+            nonlocal pos_loss, neg_loss, n_pos, n_neg
+            aux_p, valid, abeta, idx = item
+            hm = aux_p.get("host_metrics")
+            if hm is not None:
+                # one fused [2+B] leaf = ONE relay fetch per step instead
+                # of three (pack_host_metrics, train/step.py)
+                hm = np.asarray(hm)
+                bl, tcds, gen = float(hm[0]), float(hm[1]), hm[2:]
+            else:
+                bl = float(aux_p["loss"])
+                gen = np.asarray(aux_p["gen_loss"])  # per-sample
+                tcds = float(aux_p["tcds_loss"])
+            epoch_loss += bl
+            epoch_gen += float(gen[valid].sum())
+            epoch_tcds += tcds
+            n += int(valid.sum())
+            is_pos, is_neg = valid & (abeta == 1), valid & (abeta == 0)
+            # pos/neg bookkeeping by abeta, with the contrastive term added
+            # once per matching sample (ref :901-910 accumulates
+            # total_ds_contra_loss per positive/negative sample)
+            pos_loss += float(gen[is_pos].sum()) + tcds * int(is_pos.sum())
+            neg_loss += float(gen[is_neg].sum()) + tcds * int(is_neg.sum())
+            n_pos += int(is_pos.sum())
+            n_neg += int(is_neg.sum())
+            if idx % 10 == 0:
+                log.info("epoch %d batch %d loss %.4f", epoch, idx, bl)
+
         while True:
             t_w = time.time()
             try:
@@ -287,35 +324,17 @@ def train(
                                         voxel_weights)
             else:
                 state, aux = train_step(state, db, roi_weights, sub)
-            hm = aux.get("host_metrics")
-            if hm is not None:
-                # one fused [2+B] leaf = ONE ~28 ms relay fetch per step
-                # instead of three (pack_host_metrics, train/step.py)
-                hm = np.asarray(hm)
-                bl, tcds, gen = float(hm[0]), float(hm[1]), hm[2:]
-            else:
-                bl = float(aux["loss"])
-                gen = np.asarray(aux["gen_loss"])  # per-sample
-                tcds = float(aux["tcds_loss"])
+            if pending is not None:
+                _consume(pending)
             valid = batch.get("valid")
-            valid = (np.ones(gen.shape[0], bool) if valid is None
-                     else np.asarray(valid).reshape(-1).astype(bool))
-            epoch_loss += bl
-            epoch_gen += float(gen[valid].sum())
-            epoch_tcds += tcds
-            n += int(valid.sum())
             abeta = np.asarray(batch["abeta"]).reshape(-1)
-            is_pos, is_neg = valid & (abeta == 1), valid & (abeta == 0)
-            # pos/neg bookkeeping by abeta, with the contrastive term added
-            # once per matching sample (ref :901-910 accumulates
-            # total_ds_contra_loss per positive/negative sample)
-            pos_loss += float(gen[is_pos].sum()) + tcds * int(is_pos.sum())
-            neg_loss += float(gen[is_neg].sum()) + tcds * int(is_neg.sum())
-            n_pos += int(is_pos.sum())
-            n_neg += int(is_neg.sum())
+            valid = (np.ones(abeta.shape[0], bool) if valid is None
+                     else np.asarray(valid).reshape(-1).astype(bool))
+            pending = (aux, valid, abeta, batch_idx)
             step_s += time.time() - t_s
-            if batch_idx % 10 == 0:
-                log.info("epoch %d batch %d loss %.4f", epoch, batch_idx, bl)
+        if pending is not None:
+            _consume(pending)
+            pending = None
 
         avg = epoch_loss / max(n, 1)
         new_lr = scheduler.step(avg, get_lr(state.opt_state))
