@@ -75,7 +75,8 @@ def main():
     print("devices:", jax.devices(), flush=True)
     b, h, w = 2, 128, 128
     results = []
-    for c in (32, 64):
+    sweep = () if os.environ.get("BW_HALO_ONLY") == "1" else (32, 64)
+    for c in sweep:
         for d in (128,):
             shape = (b, c, d, h, w)
             nbytes = int(np.prod(shape)) * 2
@@ -125,7 +126,8 @@ def main():
     )
     x = jnp.asarray(np.random.default_rng(0).standard_normal(shape),
                     jnp.bfloat16)
-    sec = timeit(jax.jit(halo), x)
+    halo3 = jax.jit(lambda t: halo(t, t, t))
+    sec = timeit(halo3, x)
     gbs = 4 * nbytes / sec / 1e9  # 3 reads + 1 write
     print(f"pallas 3-halo c={c}: {sec*1e3:7.2f} ms {gbs:6.1f} GB/s "
           f"(3r+1w counted)", flush=True)
