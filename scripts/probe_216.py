@@ -64,7 +64,10 @@ def main():
     rng = np.random.default_rng(0)
     batch = _make_batch(rng, b=b, s=S)
     t0 = time.time()
-    variables = init_on_cpu(model, batch)
+    from coma_unet_tpu.utils.param_cache import cached_variables
+
+    variables = cached_variables(model, batch,
+                                 lambda: init_on_cpu(model, batch))
     print(f"init: {time.time()-t0:.0f}s", flush=True)
 
     @jax.jit
@@ -193,7 +196,46 @@ def _train_probe(model, variables, batch, b):
     per = (time.time() - t0) / n
     print(f"train step (b={b}) 216^3: {per*1000:.1f} ms loss={loss:.4f}",
           flush=True)
+    _segment_times(step, state, batch, roi_w)
     print("PROBE_216 OK", flush=True)
+
+
+def _segment_times(step, state, batch, roi_w):
+    """One instrumented step with a scalar fetch after each chained program —
+    attributes the 216^3 step time per segment (each reading carries the
+    ~28 ms relay fetch floor; segments run 100s of ms here). Respects
+    donation: every donated arg (feats, grads, state) is consumed exactly
+    once, exactly as in the production chain."""
+    segs = getattr(step, "segments", None)
+    if not segs or "enc_bwd" not in segs:
+        return
+    key = jax.random.PRNGKey(7)
+
+    def fetch(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
+
+    try:
+        t0 = time.time()
+        feats = segs["enc_fwd"](state.params, batch, key)
+        fetch(feats)
+        t1 = time.time()
+        (_, _aux), (g_dec, g_feats) = segs["dec_grad"](
+            state.params, feats, batch, roi_w, key, None)
+        fetch(g_dec)
+        t2 = time.time()
+        g_enc = segs["enc_bwd"](state.params, batch, key, g_feats)
+        fetch(g_enc)
+        t3 = time.time()
+        new_state, _extra = segs["update"](state, g_dec, g_enc)
+        fetch(new_state.params)
+        t4 = time.time()
+        print(f"segment times (one pass, incl ~28 ms fetch floor each): "
+              f"enc_fwd {1e3*(t1-t0):.0f} / dec_grad {1e3*(t2-t1):.0f} / "
+              f"enc_bwd {1e3*(t3-t2):.0f} / update {1e3*(t4-t3):.0f} ms",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"segment timing failed: {str(e)[:300]}", flush=True)
 
 
 if __name__ == "__main__":
