@@ -71,14 +71,25 @@ def main():
         {"train": True}, variables=variables,
     )
     lcfg = LossConfig()
+    # COMA_PROBE_DONATE=1: build the production (donate=True) step. Answered
+    # (artifacts/r3/donate_probe.log): donation does NOT suppress the layout
+    # retrace — warm-up [242151.1, 302.3, 302.7] ms, i.e. the same ~242 s
+    # second compile of dec_bwd_update as donate=False. Aliasing reuses the
+    # donated buffer's MEMORY but the output layout is still
+    # compiler-chosen, so the first post-step call re-lowers with the
+    # executable-produced layouts regardless. Donated calls consume their
+    # argument buffers, so this mode skips the segment-standalone
+    # warm/attribution sections (they re-call segments with
+    # already-consumed state/feats).
+    donate = os.environ.get("COMA_PROBE_DONATE") == "1"
     if split_step_supported(model, lcfg):
         # segment-compiled step (3 chained XLA programs): the full Pallas
         # family in training without blowing the compile helper's budget
-        print("using make_split_train_step (COMA_TRAIN_SPLIT=0 disables)",
-              flush=True)
-        step = make_split_train_step(model, lcfg, donate=False)
+        print("using make_split_train_step (COMA_TRAIN_SPLIT=0 disables)"
+              f" donate={donate}", flush=True)
+        step = make_split_train_step(model, lcfg, donate=donate)
     else:
-        step = make_train_step(model, lcfg, donate=False)
+        step = make_train_step(model, lcfg, donate=donate)
     roi_w = jnp.full((36,), 225.0)
 
     def retry(tag, fn, attempts=3):
@@ -98,6 +109,8 @@ def main():
         raise RuntimeError(f"{tag}: all {attempts} attempts failed")
 
     segs = getattr(step, "segments", None)
+    if donate:
+        segs = None  # donated segments consume their buffers; step-only mode
     key = jax.random.PRNGKey(1)
     merged = bool(segs) and "dec_bwd_update" in segs
     if merged:
