@@ -104,6 +104,41 @@ def train_model_variant(model):
     return model
 
 
+def _pin_default_layouts(tree):
+    """Constrain every rank>=2 leaf to the row-major (default) device layout.
+
+    The loop-carried TrainState re-enters the next step's jit call with
+    whatever layouts the previous executable emitted; any leaf whose layout
+    differs from the default the step was first traced with makes jax
+    re-lower and recompile the segment (~242 s for dec_bwd_update, paid on
+    the FIRST post-step call of every process). Donation does not prevent
+    it — the aliased buffer's output layout is still compiler-chosen
+    (artifacts/r3/donate_probe.log). Pinning the state outputs to the
+    default layout makes call 2's input formats identical to call 1's, so
+    the first lowering is also the last. TPU-only (CPU/virtual-mesh tests
+    trace the same functions; layouts are trivial there) and
+    COMA_PIN_LAYOUTS=0 reverts."""
+    import os
+
+    from coma_unet_tpu.models.blocks import _on_tpu
+
+    if os.environ.get("COMA_PIN_LAYOUTS", "1") == "0" or not _on_tpu():
+        return tree
+    from jax.experimental.layout import (
+        Format,
+        Layout,
+        with_layout_constraint,
+    )
+
+    def pin(t):
+        if getattr(t, "ndim", 0) < 2:
+            return t  # rank-0/1 leaves have a single possible layout
+        return with_layout_constraint(
+            t, Format(Layout(tuple(range(t.ndim)))))
+
+    return jax.tree.map(pin, tree)
+
+
 def make_train_step(
     model,
     loss_config: LossConfig,
@@ -186,9 +221,9 @@ def make_train_step(
             state.params, state.batch_stats, batch, roi_weights, rng,
             voxel_weights,
         )
-        new_state = state.apply_gradients(grads).replace(
+        new_state = _pin_default_layouts(state.apply_gradients(grads).replace(
             batch_stats=aux.pop("batch_stats")
-        )
+        ))
         aux["grad_norm"] = optax_global_norm(grads)
         pack_host_metrics(aux)
         if return_grads:
@@ -459,7 +494,7 @@ def make_split_train_step(
             _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
             g_enc = vjp_fn(g_feats)[0]
             grads = jax.tree.map(jnp.add, g_dec, g_enc)
-            new_state = state.apply_gradients(grads)
+            new_state = _pin_default_layouts(state.apply_gradients(grads))
             aux = dict(aux)
             aux["grad_norm"] = optax_global_norm(grads)
             if return_grads:
@@ -505,7 +540,7 @@ def make_split_train_step(
             _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng), state.params)
             g_enc = vjp_fn(g_feats)[0]
             grads = jax.tree.map(jnp.add, g_dec, g_enc)
-            new_state = state.apply_gradients(grads)
+            new_state = _pin_default_layouts(state.apply_gradients(grads))
             gn = optax_global_norm(grads)
             return new_state, (gn, grads) if return_grads else (gn,)
 
@@ -528,7 +563,7 @@ def make_split_train_step(
 
         def _update(state, g_dec, g_enc):
             grads = jax.tree.map(jnp.add, g_dec, g_enc)
-            new_state = state.apply_gradients(grads)
+            new_state = _pin_default_layouts(state.apply_gradients(grads))
             gn = optax_global_norm(grads)
             return new_state, (gn, grads) if return_grads else (gn,)
 
