@@ -143,7 +143,8 @@ def main() -> None:
 
     flops_path = os.path.join(os.path.dirname(__file__), "artifacts",
                               "fwd_flops.json")
-    fkey = "b2_s128_" + hashlib.sha1(
+    _b, _s = batch["mri"].shape[0], batch["mri"].shape[2]
+    fkey = f"b{_b}_s{_s}_" + hashlib.sha1(
         repr(sorted(dataclasses.asdict(cfg).items())).encode()
     ).hexdigest()[:12]
     fwd_flops = 0.0
@@ -173,8 +174,15 @@ def main() -> None:
             if fwd_flops > 0:
                 try:
                     os.makedirs(os.path.dirname(flops_path), exist_ok=True)
+                    memo = {}
+                    try:  # merge: other geometries' keys must survive
+                        with open(flops_path) as f:
+                            memo = json.load(f)
+                    except (OSError, ValueError):
+                        pass
+                    memo[fkey] = fwd_flops
                     with open(flops_path, "w") as f:
-                        json.dump({fkey: fwd_flops}, f)
+                        json.dump(memo, f)
                 except OSError:
                     pass
         except Exception as e:  # noqa: BLE001

@@ -124,17 +124,17 @@ def _pin_default_layouts(tree):
 
     if os.environ.get("COMA_PIN_LAYOUTS", "1") == "0" or not _on_tpu():
         return tree
-    from jax.experimental.layout import (
-        Format,
-        Layout,
-        with_layout_constraint,
-    )
+    from jax.experimental.layout import Layout, with_layout_constraint
 
     def pin(t):
         if getattr(t, "ndim", 0) < 2:
             return t  # rank-0/1 leaves have a single possible layout
-        return with_layout_constraint(
-            t, Format(Layout(tuple(range(t.ndim)))))
+        # NOTE: must be a bare Layout — wrapping in Format(Layout(...)) with
+        # no sharding raises "Sharding has to be concrete when layout is of
+        # type Layout ... Got sharding None" at trace time on this jax
+        # (0.9.0), which is what killed every TPU train step in r3
+        # (VERDICT r3 weak-1 / ADVICE r3 high).
+        return with_layout_constraint(t, Layout(tuple(range(t.ndim))))
 
     return jax.tree.map(pin, tree)
 
@@ -300,13 +300,14 @@ def split_step_supported(model, loss_config: LossConfig) -> bool:
     """Whether `make_split_train_step` can serve this model/loss combo: the
     flagship single-forward (RnC) path on a stage-aware model with no
     BatchNorm cross-segment mutation. Default ON — the measured fastest
-    training configuration (v5e, b=2 128^3, artifacts/r3/split_v2_probe.log):
-    569.5 ms/step with the FULL packed Pallas family (enc_fwd 34.6 /
-    dec_grad 256.2 / enc_bwd 179.0 / update 18.2), vs 632 ms for the
-    packed-off monolithic step. The monolithic step with the packed family
-    on either SIGKILLs the compile helper (v1 kernels) or runs a ~54 s/step
-    dispatch anomaly (v2, artifacts/r3/mono_v2_probe.log).
-    `COMA_TRAIN_SPLIT=0` forces the monolithic step."""
+    training configuration (v5e, b=2 128^3): the merged 2-program step
+    (enc_fwd + dec_bwd_update) at ~280 ms/step steady state with the full
+    packed Pallas family (artifacts/r3/thread_bisect.log, BENCH_AUX r3),
+    vs 632 ms for the packed-off monolithic step. The monolithic step with
+    the packed family on either SIGKILLs the compile helper (v1 kernels)
+    or runs a ~54 s/step dispatch anomaly (v2,
+    artifacts/r3/mono_v2_probe.log). `COMA_TRAIN_SPLIT=0` forces the
+    monolithic step."""
     import inspect
     import os
 
@@ -330,14 +331,16 @@ def default_segment_policies() -> Dict[str, object]:
     """The split step's per-segment kernel-family mix.
 
     The relay keeps compiled executables in a SIZE-bounded cache: a
-    3-program chain over the cap re-uploads an executable on EVERY
-    dispatch (~106 s/step vs the 260 ms sum of segment solos —
-    artifacts/r3/alternation_probe.log). Measured brackets (r3): every
-    segment PAIR alternates at the sum of its solo times (largest pair
-    78.9 MB), while the 89.2 MB norm-off triple still thrashes
-    (split_normoff_probe.log) — so the chain budget is < 89 MB and
-    >= 79 MB is unproven; the proven-good configuration is the pre-p1,
-    pre-norm-fusion kernel family (280.4 ms/step, BENCH_AUX r3).
+    chain over the cap re-uploads an executable on EVERY dispatch
+    (~106 s/step vs the 260 ms sum of segment solos —
+    artifacts/r3/alternation_probe.log). Caveat on the r3 brackets: the
+    thread-bisect re-measurement (artifacts/r3/thread_bisect.log) showed
+    short timed loops sit inside a ~250-400 s post-compile warm-up tail,
+    so the triple-chain "thrash" readings (split_lean/normoff probes)
+    are warm-up-contaminated to an unknown degree; only the directly
+    measured alternation brackets stand. The proven-good configuration
+    is the pre-p1, pre-norm-fusion family in the merged 2-program step
+    (~280 ms/step, BENCH_AUX r3).
 
     Default: disable the two post-close families (p1, fused norm) inside
     every split segment — reproducing the proven chain — while leaving

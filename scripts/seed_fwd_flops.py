@@ -56,13 +56,21 @@ def main() -> None:
     flops = float(ca.get("flops", 0.0))
     assert flops > 0, "cost analysis returned no flops"
 
-    fkey = "b2_s128_" + hashlib.sha1(
+    b, s = batch["mri"].shape[0], batch["mri"].shape[2]
+    fkey = f"b{b}_s{s}_" + hashlib.sha1(
         repr(sorted(dataclasses.asdict(cfg).items())).encode()
     ).hexdigest()[:12]
     path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                         "fwd_flops.json")
+    memo = {}
+    try:  # merge: other geometries' keys must survive
+        with open(path) as f:
+            memo = json.load(f)
+    except (OSError, ValueError):
+        pass
+    memo[fkey] = flops
     with open(path, "w") as f:
-        json.dump({fkey: flops}, f)
+        json.dump(memo, f)
     print(f"{fkey}: {flops:.6e} flops -> {path}", flush=True)
 
 

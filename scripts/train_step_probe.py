@@ -92,10 +92,16 @@ def main():
         step = make_train_step(model, lcfg, donate=donate)
     roi_w = jnp.full((36,), 225.0)
 
+    from coma_unet_tpu.train.step import _retryable
+
     def retry(tag, fn, attempts=3):
         # the remote compile helper's SIGKILL is load-dependent (the same
         # program compiled fine and SIGKILLed an hour apart, r3) — retry
-        # each segment's first compile a few times before giving up
+        # each segment's first compile a few times before giving up.
+        # Donate mode only retries compile-class failures: a donated step
+        # that failed AFTER consuming its input buffers must not be
+        # re-invoked (the retry would run on deleted arrays and mask the
+        # real error with 'Array has been deleted' — ADVICE r3).
         for i in range(attempts):
             try:
                 t0 = time.time()
@@ -103,6 +109,8 @@ def main():
                 print(f"{tag}: compile+run {time.time()-t0:.1f}s", flush=True)
                 return out
             except Exception as e:  # noqa: BLE001
+                if donate and not _retryable(e):
+                    raise
                 print(f"{tag}: attempt {i+1} failed: {str(e)[:200]}",
                       flush=True)
                 time.sleep(30 * (2 ** i))
