@@ -92,8 +92,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("infer", help="MRI-only tau-PET synthesis")
     common(i)
-    i.add_argument("--input_lookup", required=True,
-                   help="CSV with MRI (+roi) path columns")
+    i.add_argument("--input_lookup", default=None,
+                   help="CSV with MRI (+roi) path columns (required unless "
+                        "--cohort resolves it from the preset bundle)")
+    i.add_argument("--cohort", default=None,
+                   choices=("ucsf", "a4", "nacc", "nacc_nonscan",
+                            "adni_autopsy"),
+    help="named per-cohort preset (the five ready-made drivers "
+                        "of VolumeDataset_Inference.py:163-293): resolves "
+                        "paths CSV, covariate CSV, tau-meta/cognition/abeta "
+                        "JSONs inside --cohort_dir by the reference's file "
+                        "names")
+    i.add_argument("--cohort_dir", default=None,
+                   help="base directory of the cohort preset bundle")
     i.add_argument("--out_dir", default="synth_out")
     i.add_argument("--sliding_window", action="store_true")
     i.add_argument("--spatial_parallel", type=int, default=1,
@@ -445,11 +456,31 @@ def cmd_infer(args) -> int:
     config = _experiment_config(args).normalized()
     setup_logging(None)
     model = _build_model(config)
-    cov = CovariateTable(config.data.covariate_csv)
     preds = (PredictionTable(args.predictions_json)
              if args.predictions_json else None)
-    ds = InferenceVolumeDataset(args.input_lookup, cov, meta_tau_table=preds,
-                                pad_dims=config.data.volume_shape)
+    if args.cohort:
+        # named per-cohort preset bundle (VolumeDataset_Inference.py:163-293)
+        from coma_unet_tpu.data.cohorts import load_cohort_dataset
+
+        if not args.cohort_dir:
+            print("--cohort requires --cohort_dir", file=sys.stderr)
+            return 2
+        ds = load_cohort_dataset(
+            args.cohort, args.cohort_dir,
+            pad_dims=config.data.volume_shape,
+            paths_csv=args.input_lookup,
+        )
+        preds = preds or ds.meta_tau_table
+    else:
+        if not args.input_lookup:
+            print("--input_lookup is required without --cohort",
+                  file=sys.stderr)
+            return 2
+        cov = CovariateTable(config.data.covariate_csv)
+        ds = InferenceVolumeDataset(
+            args.input_lookup, cov, meta_tau_table=preds,
+            pad_dims=config.data.volume_shape,
+        )
     loader = DataLoader(ds, 1, predictions=preds)
     example = next(iter(loader))
     state = create_train_state(

@@ -32,6 +32,9 @@ _COLUMN_ALIASES = {
     "MMSCORE": "Cognition",
     "BID": "ADNI_ID",
     "ABETA": "Abeta_Covar",
+    # cohort-preset covariate lookups key by SAMPLE_ID
+    # (`VolumeDataset_Inference.py:74-76`)
+    "SAMPLE_ID": "ADNI_ID",
 }
 
 

@@ -49,8 +49,12 @@ class VolumeDataset:
         tau_mask_path: Optional[str] = None,
         pad_dims: Optional[Sequence[int]] = None,
         drop_missing_files: bool = True,
+        require_columns: Sequence[str] = ("MRI", "tau", "roi"),
     ):
-        self.lookup_df = load_lookup_csv(lookup, drop_missing_files=drop_missing_files)
+        self.lookup_df = load_lookup_csv(
+            lookup, require_columns=require_columns,
+            drop_missing_files=drop_missing_files,
+        )
         self.resize = resize
         # file-type override switches to template space for w* files
         # (`VolumeDataset.py:111-119`); resolved HERE, not per-item — the
@@ -331,6 +335,8 @@ class InferenceVolumeDataset(CovariateVolumeDataset):
     def __init__(self, lookup, covariates, meta_tau_table=None,
                  cognition_table=None, abeta_fallback_table=None, **kwargs):
         kwargs.setdefault("drop_missing_files", True)
+        # MRI-only lookups: no tau column (`VolumeDataset_Inference.py:103`)
+        kwargs.setdefault("require_columns", ("MRI", "roi"))
         super().__init__(lookup, covariates, None, **kwargs)
         self.meta_tau_table = meta_tau_table
         self.cognition_table = cognition_table or {}
@@ -368,7 +374,12 @@ class InferenceVolumeDataset(CovariateVolumeDataset):
         }
 
     def sample_id(self, idx: int) -> str:
-        return extract_id(self.lookup_df.iloc[idx]["MRI"])
+        # cohort-preset lookups carry an explicit SAMPLE_ID column
+        # (`VolumeDataset_Inference.py:117`); fall back to path extraction
+        row = self.lookup_df.iloc[idx]
+        if "SAMPLE_ID" in row:
+            return str(row["SAMPLE_ID"])
+        return extract_id(row["MRI"])
 
     def _paths(self, idx: int):
         row = self.lookup_df.iloc[idx]

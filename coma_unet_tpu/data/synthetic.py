@@ -84,3 +84,64 @@ def make_synthetic_cohort(
         json.dump(preds, f)
     return dict(root=root, lookup=lookup_csv, cov=cov_csv, quart=quart_csv,
                 preds=pred_json)
+
+
+def make_synthetic_cohort_bundle(
+    root: str,
+    cohort: str = "ucsf",
+    n_subjects: int = 4,
+    size: int = 16,
+    spacing: float = 2.0,
+    seed: int = 0,
+) -> str:
+    """Write a per-cohort inference preset bundle under `root` using the
+    reference's exact file names (`VolumeDataset_Inference.py:163-293`), so
+    `cli infer --cohort <name> --cohort_dir <root>` runs against it.
+
+    MRI-only samples (no tau target): paths CSV with SAMPLE_ID/MRI/roi,
+    covariate lookup CSV (one NaN abeta to exercise the fallback table),
+    tau-meta + cognition JSONs, and — for cohorts that ship one — the abeta
+    fallback JSON. Returns `root`."""
+    from coma_unet_tpu.data.cohorts import COHORT_PRESETS
+
+    preset = COHORT_PRESETS[cohort]
+    rng = np.random.default_rng(seed)
+    rows, cov_rows = [], []
+    tau_meta: Dict[str, dict] = {}
+    cognition: Dict[str, float] = {}
+    abeta: Dict[str, float] = {}
+    for i in range(n_subjects):
+        sid = f"COH{i:03d}"
+        d = os.path.join(root, "scans", sid)
+        os.makedirs(d, exist_ok=True)
+        mri = rng.uniform(0, 255, size=(size,) * 3).astype(np.float32)
+        roi = rng.integers(0, 3, size=(size,) * 3).astype(np.float32)
+        write_nifti(os.path.join(d, "mri.nii"),
+                    np.transpose(mri, (2, 1, 0)), spacing=(spacing,) * 3)
+        write_nifti(os.path.join(d, "roi.nii"),
+                    np.transpose(roi, (2, 1, 0)), spacing=(spacing,) * 3)
+        rows.append({"SAMPLE_ID": sid,
+                     "MRI": os.path.join(d, "mri.nii"),
+                     "roi": os.path.join(d, "roi.nii")})
+        cov_rows.append({
+            "SAMPLE_ID": sid,
+            # subject 0 has missing abeta -> exercises the fallback JSON
+            "Abeta_Covar": float("nan") if i == 0 else i % 2,
+            "Age": 60 + i, "PTGENDER": "Male" if i % 2 else "Female",
+            "Education": 12 + i,
+        })
+        tau_meta[sid] = {"Tau_Meta": {"loc": 1.0 + i, "std": 0.2}}
+        cognition[sid] = 20.0 + i
+        abeta[sid] = 1.0
+    pd.DataFrame(rows).to_csv(os.path.join(root, preset.paths_csv),
+                              index=False)
+    pd.DataFrame(cov_rows).to_csv(os.path.join(root, preset.covariate_csv),
+                                  index=False)
+    with open(os.path.join(root, preset.tau_meta_json), "w") as f:
+        json.dump(tau_meta, f)
+    with open(os.path.join(root, preset.cognition_json), "w") as f:
+        json.dump(cognition, f)
+    if preset.abeta_json:
+        with open(os.path.join(root, preset.abeta_json), "w") as f:
+            json.dump(abeta, f)
+    return root
