@@ -276,6 +276,102 @@ def main() -> None:
         print("skipping train-step bench (budget)", file=sys.stderr,
               flush=True)
 
+    # 216^3 template-space section (VERDICT r3 item 3: a driver-visible
+    # record of the template geometry — `VolumeDataset.py:121-126`).
+    # Budget-gated: its compiles are large; with a warm .jax_cache it fits
+    # comfortably, cold it only runs when the budget allows.
+    # COMA_BENCH_216=0 skips, =1 forces (ignores the budget gate).
+    want216 = os.environ.get("COMA_BENCH_216", "")
+    if want216 != "0" and (want216 == "1" or _budget_left() > 600):
+        try:
+            import dataclasses as _dc
+
+            cfg216 = _dc.replace(cfg, prompt_shape=(216, 216, 216))
+            model216 = ContraAttnUNet(cfg216)
+            batch216 = _make_batch(np.random.default_rng(0), b=1, s=216)
+            t0 = time.time()
+            v216 = cached_variables(model216, batch216,
+                                    lambda: init_on_cpu(model216, batch216))
+            _note("init_216_s", round(time.time() - t0, 1),
+                  f"216^3 init: {time.time()-t0:.1f}s")
+
+            @jax.jit
+            def fwd216(v, m, c, l, s_, r):
+                return model216.apply(v, m, c, l, s_, r, train=False,
+                                      with_projections=False).out
+
+            a216 = (v216, batch216["mri"], batch216["covars"],
+                    batch216["roi_loc"], batch216["roi_std"],
+                    batch216["roi_compact"])
+            t0 = time.time()
+            float(jnp.sum(fwd216(*a216)))
+            _note("fwd_216_compile_s", round(time.time() - t0, 1),
+                  f"216^3 forward compile+run: {time.time()-t0:.1f}s")
+            n = 5
+            t0 = time.time()
+            out = None
+            for _ in range(n):
+                out = fwd216(*a216)
+            float(jnp.sum(out))
+            ms = (time.time() - t0) / n * 1000
+            _note("fwd_216_b1_ms", round(ms, 1),
+                  f"216^3 forward (b=1): {ms:.1f} ms/volume")
+
+            if _budget_left() > 300 or want216 == "1":
+                from coma_unet_tpu.train.step import make_split_train_step
+
+                state216 = create_train_state(
+                    model216, make_optimizer(1e-3), jax.random.PRNGKey(0),
+                    (batch216["mri"], batch216["covars"],
+                     batch216["roi_loc"], batch216["roi_std"],
+                     batch216["roi_compact"]),
+                    {"train": True}, variables=v216,
+                )
+                l216 = LossConfig(roi_weight=1.0)  # template space
+                if split_step_supported(model216, l216):
+                    # production large-volume settings (probe_216):
+                    # donate + block remat + unfolded update fit HBM
+                    step216 = make_split_train_step(
+                        model216, l216, donate=True, remat_blocks=True,
+                        fold_update=False,
+                    )
+                else:
+                    step216 = make_train_step(model216, l216, donate=True)
+                rw1 = jnp.full((36,), 1.0)
+                t0 = time.time()
+                state216, aux = step216(state216, batch216, rw1,
+                                        jax.random.PRNGKey(1))
+                _ = float(aux["loss"])
+                _note("train_216_compile_s", round(time.time() - t0, 1),
+                      f"216^3 train compile+run: {time.time()-t0:.1f}s")
+                warm_ms, fast = [], 0
+                for i in range(30):
+                    t1 = time.time()
+                    state216, aux = step216(state216, batch216, rw1,
+                                            jax.random.PRNGKey(100 + i))
+                    _ = float(aux["loss"])
+                    dt = time.time() - t1
+                    warm_ms.append(round(dt * 1000, 1))
+                    fast = fast + 1 if dt < 5.0 else 0
+                    if fast >= 2 or (_budget_left() < 60 and want216 != "1"):
+                        break
+                _note("train_216_warm_ms", warm_ms,
+                      f"216^3 train warm-up (ms): {warm_ms}")
+                n = 4
+                t0 = time.time()
+                for i in range(n):
+                    state216, aux = step216(state216, batch216, rw1,
+                                            jax.random.PRNGKey(i))
+                loss = float(aux["loss"])
+                per = (time.time() - t0) / n
+                _note("train_216_b1_ms", round(per * 1000, 1),
+                      f"216^3 train step (b=1): {per*1000:.1f} ms, "
+                      f"loss={loss:.3f}")
+        except Exception as e:  # noqa: BLE001
+            print(f"216^3 bench failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("skipping 216^3 bench (budget)", file=sys.stderr, flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -328,37 +328,18 @@ def conv3d(
         def cropped(y):
             return y[..., :wd] if pad else y
 
-        if (k == 3 and cubic and strides == (2, 2, 2) and groups == 1
-                and wd > 128 and wd % 2 == 0 and x.shape[-2] % 2 == 0
-                and x.shape[2] % 4 == 0 and _on_tpu()
-                and "s2" not in disabled
-                and os.environ.get("COMA_WIDE_S2") == "1"):
-            # stride-2 at lane-padded wide W (template-space 216^3): the
-            # packed-emitting s2 kernel, chunked to <=16-channel wide slabs
-            # (same compile-budget cap as the stride-1 wide k=3 path); its
-            # VJP takes the XLA fallback for dx at wide shapes (the wide t2
-            # Mosaic program is the compile-helper crash class). Exact: taps
-            # never read beyond the true width for even W, and the unpacked
-            # output is cropped to the true half-width. OPT-IN until probed
-            # on hardware (COMA_WIDE_S2=1) — the XLA fallback fits HBM at
-            # 216^3 once the stride-1 convs are off XLA's relayout path.
-            from coma_unet_tpu.ops.pallas.conv3d_strided import (
-                pallas_conv3d_s2,
-                unpack_w,
-            )
-
-            for parts in (1, 2):
-                ch = cin // parts
-                if cin % parts or ch > 16:
-                    continue
-                xp_ = padded(x)
-                out = None
-                for i in range(parts):
-                    y = pallas_conv3d_s2(xp_[:, i * ch:(i + 1) * ch],
-                                         kernel[:, i * ch:(i + 1) * ch])
-                    out = y if out is None else out + y
-                return unpack_w(out)[..., : wd // 2]
-
+        # NB: an opt-in COMA_WIDE_S2 branch (wide-slab Pallas s2, chunked to
+        # <=16 channels) lived here through r3 but was never probed on
+        # hardware. Deleted (VERDICT r3 item 6, probe-or-delete): probing
+        # means compiling a fresh wide-slab Mosaic program — the class whose
+        # c=32 instance ran the remote compile helper 35 min and then
+        # crashed it AND the session's TPU relay (r3 g216 probe) — while
+        # the default phase-dot lowering below is the measured winner at
+        # these shapes (artifacts/r3/phase_dot_probe.log). Unexercised
+        # dispatch branches in the conv router are a silent-wrong-results
+        # risk surface (ADVICE r2 item 2), so the branch is gone rather
+        # than gated; `git log -S COMA_WIDE_S2` recovers it if wide-slab s2
+        # ever earns a probe budget.
         if (k == 3 and cubic and strides == (2, 2, 2) and groups == 1
                 and wd > 128 and all(s % 2 == 0 for s in x.shape[2:])
                 and _on_tpu()
@@ -371,7 +352,7 @@ def conv3d(
             # probe_216 OOM dump) — and autodiff keeps dx/dw conv-free too,
             # which is what let the 216^3 encoder backward fit HBM
             # (scripts/trace_216_bwd.py). COMA_PHASE_DOT=0 restores the XLA
-            # fallback; COMA_WIDE_S2=1 (above) outranks it where eligible.
+            # fallback.
             from coma_unet_tpu.ops.phase_dot import phase_dot_s2
 
             return phase_dot_s2(x, kernel)

@@ -155,14 +155,34 @@ def test_one_adamw_step_parity(setup):
     loss_t.backward()
     opt.step()
 
-    assert abs(float(loss_j) - float(loss_t)) < 1e-5 * max(
+    assert abs(float(loss_j) - float(loss_t.detach())) < 1e-5 * max(
         1.0, abs(float(loss_j))
     )
-    flat_new, treedef = jax.tree.flatten(new_params)
-    flat_t = treedef.flatten_up_to(tp)
+    treedef = jax.tree.structure(new_params)
     paths = [p for p, _ in jax.tree.flatten_with_path(new_params)[0]]
-    for path, ours, theirs in zip(paths, flat_new, flat_t):
+    flat_g = jax.tree.leaves(grads)
+    flat_new = jax.tree.leaves(new_params)
+    flat_t = treedef.flatten_up_to(tp)
+    n_signal = 0
+    for path, g_j, ours, theirs in zip(paths, flat_g, flat_new, flat_t):
+        name = jax.tree_util.keystr(path)
+        g_t = (theirs.grad.numpy() if theirs.grad is not None
+               else np.zeros_like(np.asarray(g_j)))
+        # gradients must agree; atol covers the float-noise floor of
+        # mathematically-zero grads (e.g. conv biases feeding instance
+        # norm: the norm cancels any constant shift, so the true grad is
+        # 0 and each framework computes uncorrelated ~1e-9 noise)
         np.testing.assert_allclose(
-            np.asarray(ours), theirs.detach().numpy(), rtol=2e-3, atol=2e-5,
-            err_msg=f"param {jax.tree_util.keystr(path)}",
+            np.asarray(g_j), g_t, rtol=2e-3, atol=5e-6,
+            err_msg=f"grad {name}",
         )
+        # AdamW-updated params are only comparable where the gradient
+        # carries signal: the optimizer normalizes noise-floor grads to
+        # O(lr * g/(g+eps)) updates that cannot match across frameworks
+        if np.abs(g_t).max() > 1e-4:
+            n_signal += 1
+            np.testing.assert_allclose(
+                np.asarray(ours), theirs.detach().numpy(),
+                rtol=2e-3, atol=2e-5, err_msg=f"param {name}",
+            )
+    assert n_signal >= 20  # the check must bite on the real gradient paths

@@ -332,26 +332,3 @@ def test_batched_vjp_ops_match_xla():
     assert _rel(dw2, rdw2) < 1e-5
 
 
-def test_wide_s2_dispatch_interpret(monkeypatch):
-    """COMA_WIDE_S2=1: stride-2 k=3 at wide W lane-pads into the packed s2
-    kernel (chunked to <=16-channel slabs) and stays exact vs XLA."""
-    import coma_unet_tpu.models.blocks as B
-
-    monkeypatch.setenv("COMA_WIDE_S2", "1")
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    orig = strided._s2_fwd_v2
-    calls = []
-    monkeypatch.setattr(
-        strided, "_s2_fwd_v2",
-        lambda x, w, interpret=False: (
-            calls.append(x.shape), orig(x, w, interpret=True)
-        )[1],
-    )
-    rng = np.random.default_rng(10)
-    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 8, 6, 136)), jnp.float32)
-    w = jnp.asarray(rng.uniform(-0.3, 0.3, (8, 32, 3, 3, 3)), jnp.float32)
-    got = B.conv3d(x, w, (2, 2, 2), B.same_padding((3, 3, 3)),
-                   use_pallas=True)
-    assert _rel(got, _xla_s2(x, w)) < 1e-5
-    # two 16-channel lane-padded chunks through the packed s2 kernel
-    assert calls == [(1, 16, 8, 6, 256)] * 2
