@@ -173,6 +173,48 @@ def main():
     k_s2 = _mk((B, 64, 32, 3, 3, 3), 121)
     sites["down0_s2b"] = (jax.jit(pallas_conv3d_s2_b), (x_s2, k_s2))
 
+    # ---- modulator sub-ops (r3 ablated the whole block at 68.3 ms
+    #      fwd+bwd, artifacts/r3/dec_grad_probe.log; locate it) ----
+    from coma_unet_tpu.ops.roi import paint_roi_values
+
+    def mod_paint(x, out, roi_compact, loc, std, prompt):
+        suvr = paint_roi_values(roi_compact, loc)[:, None]
+        sal = paint_roi_values(roi_compact, std)[:, None]
+        mask = x >= 1e-4
+        suvr = jnp.where(mask, suvr, 0.0)
+        sal = jnp.where(mask, sal, 0.0)
+        return jnp.concatenate(
+            [prompt * jnp.ones_like(out), sal.astype(out.dtype),
+             suvr.astype(out.dtype)], axis=1)
+
+    x_in = _mk((B, 1, 128, 128, 128), 130)
+    out_t = _mk((B, 1, 128, 128, 128), 131)
+    rc = jnp.asarray(
+        np.random.default_rng(7).integers(0, 37, (B, 128, 128, 128)),
+        jnp.int32)
+    loc = _mk((B, 36), 132, jnp.float32)
+    stdv = _mk((B, 36), 133, jnp.float32)
+    prm = _mk((1, 1, 128, 128, 128), 134)
+    sites["mod_paint_concat"] = (
+        jax.jit(mod_paint), (x_in, out_t, rc, loc, stdv, prm))
+
+    def conv_norm_act(x, w):  # Convolution(leakyrelu, instance) semantics
+        y = blocks.conv3d(x, w, (1, 1, 1), blocks.same_padding((3, 3, 3)),
+                          use_pallas=True)
+        xf = y.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(2, 3, 4), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(2, 3, 4), keepdims=True)
+        y = (y - mean.astype(y.dtype)) * jax.lax.rsqrt(
+            var + 1e-5).astype(y.dtype)
+        return jax.nn.leaky_relu(y, 1e-2)
+
+    for cin, cout, tag in ((3, 16, "mod_c0"), (16, 16, "mod_c1"),
+                           (16, 1, "mod_c2"), (2, 8, "fus_c0"),
+                           (8, 8, "fus_c1"), (8, 1, "fus_c2")):
+        x = _mk((B, cin, 128, 128, 128), 140 + cin * 7 + cout)
+        w = _mk((cout, cin, 3, 3, 3), 150 + cin * 7 + cout, jnp.float32)
+        sites[f"{tag}_{cin}to{cout}"] = (jax.jit(conv_norm_act), (x, w))
+
     only = os.environ.get("COMA_PROBE_SITES")
     if only:
         keep = set(only.split(","))
