@@ -509,6 +509,39 @@ def make_split_train_step(
                     donate_argnums=(0, 1) if donate else ()),
             "dec_bwd_update")
 
+        def _build_unmerged():
+            # merged-compile fallback (r4): the remote compile helper's
+            # module budget is DYNAMIC — mid-r4 it stopped compiling the
+            # ~1.36 MB merged mlir in every kernel configuration (even
+            # all-XLA; artifacts/r4/pin_ab_*.log) while dec_grad and the
+            # folded enc_bwd_update still compile separately
+            # (artifacts/r4/bisect_{dec2,update}.log). Same math, same
+            # policies, one extra chained dispatch (~20 ms).
+            dg = _seg(jax.jit(
+                jax.value_and_grad(_dec_loss, argnums=(0, 1), has_aux=True),
+                donate_argnums=(1,) if donate else (),
+            ), "dec_grad")
+
+            def _enc_bwd_update(state, batch, rng, g_feats, g_dec):
+                _, vjp_fn = jax.vjp(lambda p: _enc(p, batch, rng),
+                                    state.params)
+                g_enc = vjp_fn(g_feats)[0]
+                grads = jax.tree.map(jnp.add, g_dec, g_enc)
+                new_state = _pin_default_layouts(state.apply_gradients(grads))
+                gn = optax_global_norm(grads)
+                return new_state, (gn, grads) if return_grads else (gn,)
+
+            ebu = _seg(jax.jit(
+                _enc_bwd_update,
+                donate_argnums=(0, 3, 4) if donate else ()),
+                "enc_bwd_update")
+            return dg, ebu
+
+        # COMA_SPLIT_MERGE_DEAD=1 presets the fallback (manual lever +
+        # lets the CPU suite pin the fallback path's numerics directly)
+        cell = {"merged_dead": os.environ.get("COMA_SPLIT_MERGE_DEAD") == "1",
+                "unmerged": None}
+
         def train_step(
             state: TrainState,
             batch: Dict[str, jnp.ndarray],
@@ -522,8 +555,33 @@ def make_split_train_step(
                     "norm='instance' or the monolithic make_train_step"
                 )
             feats = enc_fwd(state.params, batch, rng)
-            return dec_bwd_update(state, feats, batch, roi_weights, rng,
-                                  voxel_weights)
+            if not cell["merged_dead"]:
+                try:
+                    return dec_bwd_update(state, feats, batch, roi_weights,
+                                          rng, voxel_weights)
+                except Exception as e:  # noqa: BLE001
+                    # compile-class failures surface BEFORE execution, so
+                    # state/feats buffers are still live — safe to fall back
+                    if not _retryable(e):
+                        raise
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "merged dec_bwd_update compile failed (%s); "
+                        "falling back to the 3-program chain",
+                        str(e)[:160])
+                    cell["merged_dead"] = True
+            if cell["unmerged"] is None:
+                cell["unmerged"] = _build_unmerged()
+            dg, ebu = cell["unmerged"]
+            (_, aux), (g_dec, g_feats) = dg(state.params, feats, batch,
+                                            roi_weights, rng, voxel_weights)
+            new_state, extra = ebu(state, batch, rng, g_feats, g_dec)
+            aux = dict(aux)
+            aux["grad_norm"] = extra[0]
+            if return_grads:
+                aux["grads"] = extra[1]
+            return new_state, aux
 
         train_step.segments = {
             "enc_fwd": enc_fwd, "dec_bwd_update": dec_bwd_update,

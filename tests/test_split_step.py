@@ -259,3 +259,44 @@ def test_split_step_remat_variant_matches(split_model_config, rng,
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(aux_on["grad_norm"], aux_off["grad_norm"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_merged_fallback_path_matches_merged(split_model_config, rng,
+                                             monkeypatch):
+    """The merged step's 3-program compile fallback (COMA_SPLIT_MERGE_DEAD=1
+    presets it; in production it engages when the remote compile helper
+    rejects the merged module — r4) is numerically identical to the merged
+    path."""
+    monkeypatch.setenv("COMA_TRAIN_SPLIT", "1")
+    monkeypatch.setenv("COMA_TRAIN_PACKED", "1")
+    monkeypatch.setenv("COMA_SPLIT_MERGE", "1")
+    model = ContraAttnUNet(split_model_config)
+    lcfg = LossConfig()
+    batch = make_batch(rng)
+    roi_w = jnp.full((36,), 225.0)
+    step_rng = jax.random.PRNGKey(3)
+
+    merged = make_split_train_step(model, lcfg, donate=False,
+                                   return_grads=True)
+    monkeypatch.setenv("COMA_SPLIT_MERGE_DEAD", "1")
+    fallback = make_split_train_step(model, lcfg, donate=False,
+                                     return_grads=True)
+
+    s_m, aux_m = merged(_state(model, batch), batch, roi_w, step_rng)
+    s_f, aux_f = fallback(_state(model, batch), batch, roi_w, step_rng)
+
+    np.testing.assert_allclose(aux_f["loss"], aux_m["loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(aux_f["grad_norm"], aux_m["grad_norm"],
+                               rtol=1e-4, atol=1e-6)
+    for (pm, gm), (pf, gf) in zip(
+        jax.tree_util.tree_leaves_with_path(aux_m["grads"]),
+        jax.tree_util.tree_leaves_with_path(aux_f["grads"]),
+    ):
+        assert pm == pf
+        # atol 3e-5: same rationale as the monolithic-parity test above,
+        # one more accumulation-order change (vjp-replay vs merged grad)
+        np.testing.assert_allclose(
+            gf, gm, rtol=1e-4, atol=3e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(pm)}",
+        )
