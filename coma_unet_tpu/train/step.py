@@ -262,7 +262,23 @@ def _compile_retry(fn, tag, tries=4):
     unprotected and cost bench r3 its train-step section
     (artifacts: /tmp/bench_cachewarm.log, one SIGKILL, zero retries)."""
 
+    def _aot_compile(args):
+        """Chipless-AOT escape hatch (r4): the dispatch-path remote compile
+        began failing DETERMINISTICALLY on big train modules (SIGKILL /
+        exit-1 across every kernel configuration, even all-XLA —
+        artifacts/r4/pin_ab_*.log, probe_3prog_pin.log) while the same
+        modules compile through the AOT path (donate_{dec,fold}.log:
+        dec_grad+donate 570 s OK, enc_bwd_update+donate 517 s OK). An AOT
+        compile from abstract avals writes the persistent-cache entry; the
+        retry dispatch then loads it instead of re-entering the broken
+        path. Consumes no donated buffers (avals only)."""
+        avals = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+            if hasattr(a, "shape") else a, args)
+        fn.lower(*avals).compile()
+
     def call(*args):
+        import logging as _logging
         import time as _time
 
         for i in range(tries):
@@ -271,6 +287,16 @@ def _compile_retry(fn, tag, tries=4):
             except Exception as e:  # noqa: BLE001
                 if i == tries - 1 or not _retryable(e):
                     raise
+                try:
+                    _aot_compile(args)
+                    _logging.getLogger(__name__).warning(
+                        "%s: dispatch compile failed (%s); AOT fallback "
+                        "compiled OK, retrying dispatch", tag, str(e)[:120])
+                    continue  # cache is warm — skip the backoff
+                except Exception as e2:  # noqa: BLE001
+                    _logging.getLogger(__name__).warning(
+                        "%s: dispatch and AOT compile both failed "
+                        "(%s / %s)", tag, str(e)[:120], str(e2)[:120])
                 _time.sleep(30 * (2 ** i))  # 30/60/120 s
 
     call.jitted = fn  # raw jit-wrapped fn, for AOT lower/memory probes
