@@ -116,13 +116,24 @@ def _pin_default_layouts(tree):
     (artifacts/r3/donate_probe.log). Pinning the state outputs to the
     default layout makes call 2's input formats identical to call 1's, so
     the first lowering is also the last. TPU-only (CPU/virtual-mesh tests
-    trace the same functions; layouts are trivial there) and
-    COMA_PIN_LAYOUTS=0 reverts."""
+    trace the same functions; layouts are trivial there).
+
+    DEFAULT OFF (r4): on this toolchain the layout constraints break the
+    backend compile of big train modules — the identical enc_bwd_update
+    module compiles in 517 s without the pin and dies
+    (tpu_compile_helper exit 1, deterministic, 2x) with it
+    (artifacts/r4/donate_fold.log vs donate_foldpin.log); small pinned
+    modules compile fine, so it is a size-dependent backend limit, not
+    the API form (bare Layout traces and lowers correctly). Without the
+    pin the first post-step call re-lowers with executable-produced
+    layouts (~242 s once per process, absorbed by warm-up —
+    artifacts/r3/donate_probe.log). COMA_PIN_LAYOUTS=1 re-enables for
+    future toolchains."""
     import os
 
     from coma_unet_tpu.models.blocks import _on_tpu
 
-    if os.environ.get("COMA_PIN_LAYOUTS", "1") == "0" or not _on_tpu():
+    if os.environ.get("COMA_PIN_LAYOUTS", "0") != "1" or not _on_tpu():
         return tree
     from jax.experimental.layout import Layout, with_layout_constraint
 
@@ -458,7 +469,14 @@ def make_split_train_step(
     if fold_update is None:
         fold_update = os.environ.get("COMA_SPLIT_FOLD", "1") == "1"
     if merge_bwd is None:
-        merge_bwd = os.environ.get("COMA_SPLIT_MERGE", "1") == "1"
+        # merged default OFF (r4): the helper's module-memory budget shrank
+        # below the ~1.36 MB merged mlir — SIGKILL on a quiet box with the
+        # pin off and every kernel-family configuration
+        # (artifacts/r4/pin_ab_off_quiet.log + pin_ab_*.log), while the
+        # 3-program segments compile individually (donate ladder logs).
+        # COMA_SPLIT_MERGE=1 re-enables (the in-step fallback still
+        # catches a failed merged compile).
+        merge_bwd = os.environ.get("COMA_SPLIT_MERGE", "0") == "1"
 
     # Block-level remat inside the segments only re-buys compute (~70 ms at
     # b=2 128^3) for ~2 GB of activations that fit HBM comfortably — see

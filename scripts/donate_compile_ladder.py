@@ -91,10 +91,13 @@ def main():
         g_enc = vjp_fn(g_feats)[0]
         grads = jax.tree.map(jnp.add, g_dec, g_enc)
         new_state = state.apply_gradients(grads)
+        if mode == "foldpin":
+            from coma_unet_tpu.train.step import _pin_default_layouts
+            new_state = _pin_default_layouts(new_state)
         gn = optax_global_norm(grads)
         return new_state, (gn,)
 
-    donate = (0, 3, 4) if mode == "fold" else ()
+    donate = (0, 3, 4) if mode in ("fold", "foldpin") else ()
     run(f"enc_bwd_update donate={bool(donate)}",
         jax.jit(_enc_bwd_update, donate_argnums=donate),
         (state_abs, batch_abs, rng_abs, feats_abs, params_abs))
