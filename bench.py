@@ -27,6 +27,14 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# r4: keep big train-segment entries (30-55 MB) in the cache — the
+# dispatch-path remote compile of big modules is broken (only the chipless
+# AOT path compiles them, ~500-550 s each), so a pruned entry now costs an
+# AOT recompile rather than the old ~356 s dispatch compile; the slow-
+# ingest tail the 16 MB default guarded against is the lesser risk when
+# the relay likely retains the bytes from the pre-run warm (content
+# dedup, ROUND_NOTES r3 "Persistent compile cache" #2).
+os.environ.setdefault("COMA_CACHE_PRUNE_MB", "60")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from coma_unet_tpu.utils.compile_cache import prune_compile_cache  # noqa: E402
@@ -233,6 +241,12 @@ def main() -> None:
                 _note("train_step_kind", "monolithic",
                       "train step: monolithic")
             roi_w = jnp.full((36,), 225.0)
+            from coma_unet_tpu.train.step import aot_precompile_segments
+
+            t0 = time.time()
+            aot_precompile_segments(step, state, batch, roi_w)
+            _note("train_aot_precompile_s", round(time.time() - t0, 1),
+                  f"train AOT precompile: {time.time()-t0:.1f}s")
             t0 = time.time()
             state, aux = step(state, batch, roi_w, jax.random.PRNGKey(1))
             _ = float(aux["loss"])
@@ -338,6 +352,14 @@ def main() -> None:
                 else:
                     step216 = make_train_step(model216, l216, donate=True)
                 rw1 = jnp.full((36,), 1.0)
+                from coma_unet_tpu.train.step import (
+                    aot_precompile_segments as _aot216,
+                )
+
+                t0 = time.time()
+                _aot216(step216, state216, batch216, rw1)
+                _note("train_216_aot_s", round(time.time() - t0, 1),
+                      f"216^3 AOT precompile: {time.time()-t0:.1f}s")
                 t0 = time.time()
                 state216, aux = step216(state216, batch216, rw1,
                                         jax.random.PRNGKey(1))

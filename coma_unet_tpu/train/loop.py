@@ -239,6 +239,25 @@ def train(
         voxel_weights = make_voxel_weights(
             jnp.asarray(tpl_compact), roi_weights
         )
+    # AOT-precompile split segments before the first dispatch (r4: the
+    # dispatch-path remote compile fails on big train modules; the chipless
+    # AOT path still compiles them and the dispatch then loads the cache
+    # entry). Non-fatal: the step's own retry has an AOT rung as backstop.
+    from coma_unet_tpu.models.blocks import _on_tpu
+
+    if getattr(train_step, "segments", None) and mesh is None and _on_tpu():
+        from coma_unet_tpu.train.step import aot_precompile_segments
+
+        # mirror the in-loop `db` signature exactly (host keys stripped,
+        # valid_mask present) so the precompiled avals match the dispatch
+        ex_db = {k: v for k, v in example.items()
+                 if k not in ("sample_ids", "tau_paths", "valid")}
+        ex_db["valid_mask"] = np.ones(len(example["abeta"]), np.float32)
+        t_aot = time.time()
+        aot_precompile_segments(train_step, state, ex_db, roi_weights,
+                                voxel_weights=voxel_weights)
+        log.info("segment AOT precompile: %.1fs", time.time() - t_aot)
+
     recorder = MetricRecorder(save_path)
     pos_recorder = MetricRecorder(os.path.join(save_path, "pos_metrics"))
     neg_recorder = MetricRecorder(os.path.join(save_path, "neg_metrics"))

@@ -717,6 +717,75 @@ def make_split_train_step(
     return train_step
 
 
+def aot_precompile_segments(step, state, batch, roi_weights,
+                            voxel_weights=None) -> bool:
+    """AOT-compile a split step's segments from ABSTRACT avals (consumes no
+    donated buffers), writing their persistent-cache entries so the first
+    dispatch loads instead of compiling.
+
+    r4: the dispatch-path remote compile fails deterministically on big
+    train modules while the chipless AOT path still compiles them
+    (artifacts/r4/donate_*.log) — production callers (bench, the train
+    loop's first epoch, probes) run this before the first step. Returns
+    True when every segment compiled (or the step has no segments).
+    Failures are logged and non-fatal: the step's own `_compile_retry`
+    AOT rung is the backstop."""
+    import logging
+    import time as _time
+
+    segs = getattr(step, "segments", None)
+    if not segs:
+        return True
+    log = logging.getLogger(__name__)
+    sds = lambda t: jax.tree.map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    p_s, b_s, st_s = sds(state.params), sds(dict(batch)), sds(state)
+    rng_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    rw_s = sds(roi_weights)
+    vw_s = None if voxel_weights is None else sds(voxel_weights)
+    ok = True
+
+    def compile_one(name, fn, *args):
+        nonlocal ok
+        t0 = _time.time()
+        try:
+            fn.lower(*args).compile()
+            log.info("AOT %s: %.1fs", name, _time.time() - t0)
+        except Exception as e:  # noqa: BLE001
+            log.warning("AOT %s failed (%.1fs): %s", name,
+                        _time.time() - t0, str(e)[:160])
+            ok = False
+
+    try:
+        enc = segs["enc_fwd"].jitted
+        feats_s = jax.eval_shape(enc, p_s, b_s, rng_s)
+        compile_one("enc_fwd", enc, p_s, b_s, rng_s)
+        if "dec_grad" in segs:
+            dec = segs["dec_grad"].jitted
+            (_, g_s) = jax.eval_shape(dec, p_s, feats_s, b_s, rw_s, rng_s,
+                                      vw_s)
+            g_dec_s, g_feats_s = g_s
+            compile_one("dec_grad", dec, p_s, feats_s, b_s, rw_s, rng_s,
+                        vw_s)
+            if hasattr(segs.get("enc_bwd_update"), "jitted"):
+                compile_one("enc_bwd_update",
+                            segs["enc_bwd_update"].jitted,
+                            st_s, b_s, rng_s, g_feats_s, g_dec_s)
+            elif "enc_bwd" in segs:  # unfolded large-volume chain
+                eb = segs["enc_bwd"].jitted
+                g_enc_s = jax.eval_shape(eb, p_s, b_s, rng_s, g_feats_s)
+                compile_one("enc_bwd", eb, p_s, b_s, rng_s, g_feats_s)
+                compile_one("update", segs["update"].jitted,
+                            st_s, g_dec_s, g_enc_s)
+        elif "dec_bwd_update" in segs:
+            compile_one("dec_bwd_update", segs["dec_bwd_update"].jitted,
+                        st_s, feats_s, b_s, rw_s, rng_s, vw_s)
+    except Exception as e:  # noqa: BLE001
+        log.warning("AOT precompile aborted: %s", str(e)[:200])
+        return False
+    return ok
+
+
 def optax_global_norm(tree) -> jnp.ndarray:
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.vdot(x, x).real for x in leaves))
