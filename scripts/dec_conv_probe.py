@@ -173,6 +173,24 @@ def main():
     k_s2 = _mk((B, 64, 32, 3, 3, 3), 121)
     sites["down0_s2b"] = (jax.jit(pallas_conv3d_s2_b), (x_s2, k_s2))
 
+    # ---- encoder s1 sites (MFU re-attribution, VERDICT r3 item 9) ----
+    x_h0 = _mk((B, 1, 128, 128, 128), 122)
+    k_h0 = _mk((B, 32, 1, 3, 3, 3), 123)
+    sites["head_c0_1to32_b"] = (
+        jax.jit(lambda x, k: pallas_conv3d_b(x, k, 3)), (x_h0, k_h0))
+    x_h1 = _mk((B, 32, 128, 128, 128), 124)
+    k_h1 = _mk((B, 32, 32, 3, 3, 3), 125)
+    sites["head_c1_32to32_b"] = (
+        jax.jit(lambda x, k: pallas_conv3d_b(x, k, 3)), (x_h1, k_h1))
+    from coma_unet_tpu.ops.pallas.conv3d_p1 import pallas_conv3d_p1_b
+    sites["head_c1_32to32_p1b"] = (
+        jax.jit(pallas_conv3d_p1_b), (x_h1, k_h1))
+    from coma_unet_tpu.ops.pallas.conv3d_packed import pallas_conv3d_packed_b
+    xp_c1 = _mk((B, 64, 32, 64, 128), 126)   # packed 64^3 level conv
+    kp_c1 = _mk((B, 64, 64, 3, 3, 3), 127)
+    sites["lvl1_conv_64to64_pk_b"] = (
+        jax.jit(pallas_conv3d_packed_b), (xp_c1, kp_c1))
+
     # ---- modulator sub-ops (r3 ablated the whole block at 68.3 ms
     #      fwd+bwd, artifacts/r3/dec_grad_probe.log; locate it) ----
     from coma_unet_tpu.ops.roi import paint_roi_values
