@@ -43,7 +43,15 @@ prune_compile_cache()  # big-entry ingest has a slow tail; keep small hits (see 
 
 _START = time.time()
 _AUX_PATH = os.path.join(os.path.dirname(__file__), "BENCH_AUX.json")
-_AUX: dict = {}
+# merge-on-start: budget-gated sections (216^3) only reach their timed
+# numbers on long-budget runs; a short driver run must not wipe the keys a
+# prior warm run captured. Re-measured keys overwrite; stale keys carry
+# the last successful measurement (raw logs in artifacts/ date them).
+try:
+    with open(_AUX_PATH) as _f:
+        _AUX: dict = json.load(_f)
+except (OSError, ValueError):
+    _AUX = {}
 
 
 def _budget_left() -> float:
