@@ -46,12 +46,31 @@ _AUX_PATH = os.path.join(os.path.dirname(__file__), "BENCH_AUX.json")
 # merge-on-start: budget-gated sections (216^3) only reach their timed
 # numbers on long-budget runs; a short driver run must not wipe the keys a
 # prior warm run captured. Re-measured keys overwrite; stale keys carry
-# the last successful measurement (raw logs in artifacts/ date them).
+# the last successful measurement. Every key is stamped in "_provenance"
+# with the run that measured it (ADVICE r4: carried-forward numbers must
+# be distinguishable from this run's).
 try:
     with open(_AUX_PATH) as _f:
         _AUX: dict = json.load(_f)
 except (OSError, ValueError):
     _AUX = {}
+
+
+def _run_id() -> str:
+    import subprocess
+
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "nogit"
+    except Exception:  # noqa: BLE001
+        sha = "nogit"
+    return f"{sha}@{time.strftime('%Y-%m-%dT%H:%M:%S', time.gmtime(_START))}"
+
+
+_RUN_ID = _run_id()
 
 
 def _budget_left() -> float:
@@ -64,6 +83,7 @@ def _note(key: str, value, msg: str) -> None:
     """Record a partial result: stderr line + incremental BENCH_AUX.json."""
     print(msg, file=sys.stderr, flush=True)
     _AUX[key] = value
+    _AUX.setdefault("_provenance", {})[key] = _RUN_ID
     try:
         with open(_AUX_PATH, "w") as f:
             json.dump(_AUX, f, indent=1)
@@ -146,72 +166,77 @@ def main() -> None:
         "vs_baseline": round(2000.0 / p50_volume_ms, 3),
     }), flush=True)
 
-    # MFU vs the v5e bf16 peak (~197 TFLOP/s). Pallas custom calls are opaque
-    # to XLA's cost model, so take the static FLOP count from the
-    # mathematically-identical pure-XLA lowering (pallas_convs=False). The
-    # count is a constant of (config, batch shape), and the lowering's
-    # compile-cache entry is oversized (pruned at startup), so computing it
-    # live costs minutes of remote compile EVERY run — memoize the scalar in
-    # a committed JSON instead and only compile on a key miss.
-    V5E_PEAK = 197e12
-    import dataclasses
-    import hashlib
+    def mfu_section():
+        # MFU vs the v5e bf16 peak (~197 TFLOP/s). Pallas custom calls are
+        # opaque to XLA's cost model, so take the static FLOP count from the
+        # mathematically-identical pure-XLA lowering (pallas_convs=False).
+        # The count is a constant of (config, batch shape), and the
+        # lowering's compile-cache entry is oversized (pruned at startup),
+        # so computing it live costs minutes of remote compile EVERY run —
+        # memoize the scalar in a committed JSON instead and only compile
+        # on a key miss. Runs AFTER the train section (VERDICT r4 item 1b:
+        # a cold flops-compile must not eat the train window).
+        V5E_PEAK = 197e12
+        import dataclasses
+        import hashlib
 
-    flops_path = os.path.join(os.path.dirname(__file__), "artifacts",
-                              "fwd_flops.json")
-    _b, _s = batch["mri"].shape[0], batch["mri"].shape[2]
-    fkey = f"b{_b}_s{_s}_" + hashlib.sha1(
-        repr(sorted(dataclasses.asdict(cfg).items())).encode()
-    ).hexdigest()[:12]
-    fwd_flops = 0.0
-    try:
-        with open(flops_path) as f:
-            fwd_flops = float(json.load(f).get(fkey, 0.0))
-    except (OSError, ValueError):
-        pass
-    if fwd_flops <= 0 and _budget_left() > 120:
+        flops_path = os.path.join(os.path.dirname(__file__), "artifacts",
+                                  "fwd_flops.json")
+        _b, _s = batch["mri"].shape[0], batch["mri"].shape[2]
+        fkey = f"b{_b}_s{_s}_" + hashlib.sha1(
+            repr(sorted(dataclasses.asdict(cfg).items())).encode()
+        ).hexdigest()[:12]
+        fwd_flops = 0.0
         try:
-            model_x = ContraAttnUNet(
-                dataclasses.replace(cfg, pallas_convs=False)
-            )
+            with open(flops_path) as f:
+                fwd_flops = float(json.load(f).get(fkey, 0.0))
+        except (OSError, ValueError):
+            pass
+        if fwd_flops <= 0 and _budget_left() > 120:
+            try:
+                model_x = ContraAttnUNet(
+                    dataclasses.replace(cfg, pallas_convs=False)
+                )
 
-            @jax.jit
-            def forward_x(variables, mri, covars, roi_loc, roi_std,
-                          roi_compact):
-                return model_x.apply(
-                    variables, mri, covars, roi_loc, roi_std, roi_compact,
-                    train=False, with_projections=False,
-                ).out
+                @jax.jit
+                def forward_x(variables, mri, covars, roi_loc, roi_std,
+                              roi_compact):
+                    return model_x.apply(
+                        variables, mri, covars, roi_loc, roi_std,
+                        roi_compact, train=False, with_projections=False,
+                    ).out
 
-            ca = forward_x.lower(*args).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            fwd_flops = float(ca.get("flops", 0.0))
-            if fwd_flops > 0:
-                try:
-                    os.makedirs(os.path.dirname(flops_path), exist_ok=True)
-                    memo = {}
-                    try:  # merge: other geometries' keys must survive
-                        with open(flops_path) as f:
-                            memo = json.load(f)
-                    except (OSError, ValueError):
+                ca = forward_x.lower(*args).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                fwd_flops = float(ca.get("flops", 0.0))
+                if fwd_flops > 0:
+                    try:
+                        os.makedirs(os.path.dirname(flops_path),
+                                    exist_ok=True)
+                        memo = {}
+                        try:  # merge: other geometries' keys must survive
+                            with open(flops_path) as f:
+                                memo = json.load(f)
+                        except (OSError, ValueError):
+                            pass
+                        memo[fkey] = fwd_flops
+                        with open(flops_path, "w") as f:
+                            json.dump(memo, f)
+                    except OSError:
                         pass
-                    memo[fkey] = fwd_flops
-                    with open(flops_path, "w") as f:
-                        json.dump(memo, f)
-                except OSError:
-                    pass
-        except Exception as e:  # noqa: BLE001
-            print(f"cost analysis unavailable: {e}", file=sys.stderr,
+            except Exception as e:  # noqa: BLE001
+                print(f"cost analysis unavailable: {e}", file=sys.stderr,
+                      flush=True)
+        if fwd_flops > 0:
+            mfu = fwd_flops / per_call / V5E_PEAK
+            _note("forward_mfu_pct", round(mfu * 100, 2),
+                  f"forward: {fwd_flops/1e12:.2f} TFLOP/call -> "
+                  f"{fwd_flops/per_call/1e12:.1f} TFLOP/s = "
+                  f"{mfu*100:.1f}% MFU")
+        else:
+            print("skipping cost analysis (budget)", file=sys.stderr,
                   flush=True)
-    if fwd_flops > 0:
-        mfu = fwd_flops / per_call / V5E_PEAK
-        _note("forward_mfu_pct", round(mfu * 100, 2),
-              f"forward: {fwd_flops/1e12:.2f} TFLOP/call -> "
-              f"{fwd_flops/per_call/1e12:.1f} TFLOP/s = "
-              f"{mfu*100:.1f}% MFU")
-    else:
-        print("skipping cost analysis (budget)", file=sys.stderr, flush=True)
 
     # train step throughput (auxiliary)
     if _budget_left() > 180:
@@ -252,7 +277,11 @@ def main() -> None:
             from coma_unet_tpu.train.step import aot_precompile_segments
 
             t0 = time.time()
-            aot_precompile_segments(step, state, batch, roi_w)
+            # leave >=240 s of budget after the AOT phase for the first
+            # dispatch + warm + timed loop (VERDICT r4 item 1b)
+            aot_precompile_segments(step, state, batch, roi_w,
+                                    budget_s=max(60.0,
+                                                 _budget_left() - 240.0))
             _note("train_aot_precompile_s", round(time.time() - t0, 1),
                   f"train AOT precompile: {time.time()-t0:.1f}s")
             t0 = time.time()
@@ -294,9 +323,53 @@ def main() -> None:
                   f"({2/per_step:.2f} samples/s/chip), loss={loss:.3f}")
         except Exception as e:  # noqa: BLE001 — headline already emitted
             print(f"train-step bench failed: {e}", file=sys.stderr, flush=True)
+            _note("train_step_error", str(e)[:200], "train section errored")
     else:
         print("skipping train-step bench (budget)", file=sys.stderr,
               flush=True)
+
+    # eval engine (VERDICT r4 item 6): forward + the full voxel/ROI metric
+    # accumulation — the device half of the reference's `contrastive_test`
+    # (`attn_unet_data_parallel.py:1129-1359`). Budget-cheap: one program,
+    # no backward.
+    if _budget_left() > 120:
+        try:
+            from coma_unet_tpu.train import create_train_state as _cts
+            from coma_unet_tpu.train.step import make_eval_step
+
+            eval_state = _cts(
+                model, make_optimizer(1e-3), jax.random.PRNGKey(0),
+                (batch["mri"], batch["covars"], batch["roi_loc"],
+                 batch["roi_std"], batch["roi_compact"]),
+                {"train": True}, variables=variables,
+            )
+            eval_step = make_eval_step(model, num_rois=36)
+            t0 = time.time()
+            pred, vox, roi = eval_step(eval_state, batch)
+            _ = float(jax.tree.leaves(vox)[0])
+            _note("eval_compile_s", round(time.time() - t0, 1),
+                  f"eval step compile+run: {time.time()-t0:.1f}s")
+            out = None
+            for _ in range(3):  # warm
+                out = eval_step(eval_state, batch)
+            _ = float(jax.tree.leaves(out[1])[0])
+            n = 10
+            t0 = time.time()
+            for _ in range(n):
+                out = eval_step(eval_state, batch)
+            _ = float(jax.tree.leaves(out[1])[0])
+            ms = (time.time() - t0) / n * 1000
+            _note("eval_step_b2_ms", round(ms, 1),
+                  f"eval step (b=2, fwd + metric suite): {ms:.1f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"eval bench failed: {e}", file=sys.stderr, flush=True)
+    else:
+        print("skipping eval bench (budget)", file=sys.stderr, flush=True)
+
+    try:
+        mfu_section()
+    except Exception as e:  # noqa: BLE001
+        print(f"MFU section failed: {e}", file=sys.stderr, flush=True)
 
     # 216^3 template-space section (VERDICT r3 item 3: a driver-visible
     # record of the template geometry — `VolumeDataset.py:121-126`).
@@ -340,7 +413,13 @@ def main() -> None:
                   f"216^3 forward (b=1): {ms:.1f} ms/volume")
 
             if _budget_left() > 300 or want216 == "1":
-                from coma_unet_tpu.train.step import make_split_train_step
+                # import here too: the train-step section's imports are
+                # inside its own budget gate (ADVICE r4 low: a forced 216
+                # run with the train section skipped hit NameError)
+                from coma_unet_tpu.train.step import (
+                    make_split_train_step,
+                    split_step_supported,
+                )
 
                 state216 = create_train_state(
                     model216, make_optimizer(1e-3), jax.random.PRNGKey(0),
@@ -401,6 +480,56 @@ def main() -> None:
             print(f"216^3 bench failed: {e}", file=sys.stderr, flush=True)
     else:
         print("skipping 216^3 bench (budget)", file=sys.stderr, flush=True)
+
+    try:
+        update_baseline_md()
+    except Exception as e:  # noqa: BLE001
+        print(f"BASELINE.md update failed: {e}", file=sys.stderr, flush=True)
+
+
+def update_baseline_md() -> None:
+    """Rewrite BASELINE.md's measured table from BENCH_AUX so the living
+    record can never lag the bench again (VERDICT r4 item 7). The table
+    lives between BENCH:BEGIN/END markers; everything else is untouched."""
+    path = os.path.join(os.path.dirname(__file__), "BASELINE.md")
+    try:
+        with open(path) as f:
+            text = f.read()
+    except OSError:
+        return
+    begin, end = "<!-- BENCH:BEGIN -->", "<!-- BENCH:END -->"
+    if begin not in text or end not in text:
+        return
+    prov = _AUX.get("_provenance", {})
+
+    def row(label, key, unit, note=""):
+        v = _AUX.get(key)
+        if v is None:
+            return None
+        return (f"| {label} | **{v} {unit}** | "
+                f"`{key}` @ {prov.get(key, '?')} | {note} |")
+
+    rows = [r for r in (
+        row("full-volume synthesis p50 (b=2 fwd / 2)", "forward_p50_b2_ms",
+            "ms b=2", "headline = value/2 per volume"),
+        row("forward MFU", "forward_mfu_pct", "%",
+            "vs 197 TFLOP/s v5e bf16 peak"),
+        row("train step (b=2, RnC composite + AdamW)", "train_step_b2_ms",
+            "ms", "segment-compiled split step"),
+        row("eval step (b=2, fwd + metric suite)", "eval_step_b2_ms",
+            "ms", "device half of contrastive_test"),
+        row("216^3 forward (b=1)", "fwd_216_b1_ms", "ms", "template space"),
+        row("216^3 train step (b=1)", "train_216_b1_ms", "ms",
+            "split step, remat, unfolded update"),
+    ) if r]
+    table = "\n".join(
+        ["", "| metric | measured | BENCH_AUX key @ run | notes |",
+         "|---|---|---|---|"] + rows + [""])
+    pre, _, rest = text.partition(begin)
+    _, _, post = rest.partition(end)
+    with open(path, "w") as f:
+        f.write(pre + begin + table + end + post)
+    print("BASELINE.md measured table refreshed", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

@@ -67,6 +67,24 @@ def _interp(interpret: bool) -> bool:
         return True
 
 
+def _stack_mode() -> int:
+    """How many dots the 9 (kh, kw) taps fold into (trace-time env gate,
+    like every kernel-family switch here): 9 = one dot per tap (the r1-r4
+    kernel), 3 = kh stacked along K (one dot per kw), 1 = all 9 taps
+    stacked (single dot). Fewer dots = fewer full-size f32 accumulator
+    round-trips through VMEM — the cost component that p1's M-fill win
+    did NOT touch and the r4 attribution left on the table (VERDICT r4
+    item 2: merge0/head_c1 shift-bound at ~4x their MXU time while the
+    shifted-bytes halving of p1 measured zero net win, so the invariant
+    accumulator traffic is the remaining suspect). COMA_P1_STACK
+    overrides the default (set from the r5 hardware A/B,
+    scripts/s1_stack_probe.py)."""
+    import os
+
+    v = os.environ.get("COMA_P1_STACK", "9")
+    return {"1": 1, "3": 3, "9": 9}.get(v, 9)
+
+
 def _w_taps_p1(w: jnp.ndarray) -> jnp.ndarray:
     """[Cout, Cin, 3, 3, 3] -> [9(kh,kw), _Q*Cout, _NSLOT*Cin] f32 with the
     3-of-6 slot structure (row q tap td reads slot j = q + td); leading B
@@ -97,6 +115,27 @@ def _w_taps_p1(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(taps, axis=-3)  # [(B,) 9, _Q*Cout, _NSLOT*Cin]
 
 
+def _w_taps_stacked(w: jnp.ndarray, stack: int) -> jnp.ndarray:
+    """Regroup `_w_taps_p1` for the stacked-K kernel variants: the rhs is
+    built kw-outer / kh-inner (`_p1_kernel`), so K blocks must follow the
+    same order. stack=3 -> [(B,) 3(kw), M, 3(kh)*K0]; stack=1 ->
+    [(B,) 1, M, 9*K0]."""
+    w9 = _w_taps_p1(w)
+    if stack == 9:
+        return w9
+
+    def tap(kh, kw):
+        return w9[..., (kh + 1) * 3 + (kw + 1), :, :]
+
+    groups = [
+        jnp.concatenate([tap(kh, kw) for kh in (-1, 0, 1)], axis=-1)
+        for kw in (-1, 0, 1)
+    ]
+    if stack == 3:
+        return jnp.stack(groups, axis=-3)
+    return jnp.concatenate(groups, axis=-1)[..., None, :, :]
+
+
 def _slot_cat(refs, u, usize):
     """The shared [_NSLOT*Cin, H, W] operand: input D-slices 4u-1 .. 4u+4,
     out-of-volume edges zeroed (only slots 0 and _NSLOT-1 can fall off)."""
@@ -111,23 +150,54 @@ def _slot_cat(refs, u, usize):
     return jnp.concatenate(slabs, axis=0)
 
 
-def _p1_kernel(*refs, usize: int):
+def _p1_kernel(*refs, usize: int, stack: int = 9):
     """Grid (B, D/4). Output block = _Q consecutive D-slices
-    [Cout, _Q, H, W] in natural order."""
+    [Cout, _Q, H, W] in natural order.
+
+    `stack` folds taps along the contraction dim (see `_stack_mode`):
+    stack=9 dots per-tap ([M, K0] x [K0, H, W] x9); stack=3 concatenates
+    the 3 kh-shifted copies per kw and dots once per kw ([M, 3*K0]); and
+    stack=1 concatenates all 9 shifted copies for ONE [M, 9*K0] dot —
+    same shifted bytes, but 1 instead of 9 full-size f32 accumulator
+    read-modify-writes (and the 9-tap sum accumulates in the MXU's f32
+    pipeline instead of explicit VMEM adds). The W (lane) shift is hoisted
+    per kw — the factorized order also matches the Mosaic constraint that
+    concatenate rejects sublane-offset operands (conv3d.py htiled)."""
     x_refs, w_ref, o_ref = refs[:_NSLOT], refs[_NSLOT], refs[_NSLOT + 1]
     u = pl.program_id(1)
     cat = _slot_cat(x_refs, u, usize)
-    acc = None
-    for kh in (-1, 0, 1):
+    prec = (jax.lax.Precision.HIGHEST
+            if cat.dtype == jnp.float32 else None)
+
+    def dot(wk, rhs):
+        return jax.lax.dot_general(
+            wk.astype(rhs.dtype), rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [_Q*Cout, H, W]
+
+    if stack == 9:
+        acc = None
+        for kh in (-1, 0, 1):
+            for kw in (-1, 0, 1):
+                s = _shift_hw(cat, kh, kw)
+                tap = (kh + 1) * 3 + (kw + 1)
+                d = dot(w_ref[tap], s)
+                acc = d if acc is None else acc + d
+    elif stack == 1:
+        parts = []
         for kw in (-1, 0, 1):
-            s = _shift_hw(cat, kh, kw)
-            tap = (kh + 1) * 3 + (kw + 1)
-            prec = (jax.lax.Precision.HIGHEST
-                    if s.dtype == jnp.float32 else None)
-            d = jax.lax.dot_general(
-                w_ref[tap].astype(s.dtype), s, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )  # [_Q*Cout, H, W]
+            sw = _shift_hw(cat, 0, kw)
+            # kh-inner order matches _w_taps_stacked
+            parts += [_shift_hw(sw, kh, 0) for kh in (-1, 0, 1)]
+        acc = dot(w_ref[0], jnp.concatenate(parts, axis=0))
+    else:  # stack == 3: build/dot one kw group at a time (1 rhs live)
+        acc = None
+        for i, kw in enumerate((-1, 0, 1)):
+            sw = _shift_hw(cat, 0, kw)
+            rhs = jnp.concatenate(
+                [_shift_hw(sw, kh, 0) for kh in (-1, 0, 1)], axis=0
+            )  # [3*K0, H, W]
+            d = dot(w_ref[i], rhs)
             acc = d if acc is None else acc + d
     cout = o_ref.shape[0]
     o_ref[...] = jnp.stack(
@@ -162,18 +232,20 @@ def _p1_fwd(x: jnp.ndarray, w: jnp.ndarray,
     assert dsz % _Q == 0
     batched = w.ndim == 6
     cout = w.shape[1] if batched else w.shape[0]
-    w_taps = _w_taps_p1(w)
+    stack = _stack_mode()
+    w_taps = _w_taps_stacked(w, stack)
+    ngrp, kdim = w_taps.shape[-3], w_taps.shape[-1]
     if batched:
-        w_spec = pl.BlockSpec((None, 9, _Q * cout, _NSLOT * cin),
+        w_spec = pl.BlockSpec((None, ngrp, _Q * cout, kdim),
                               lambda bi, ui: (bi, 0, 0, 0),
                               memory_space=pltpu.VMEM)
     else:
-        w_spec = pl.BlockSpec((9, _Q * cout, _NSLOT * cin),
+        w_spec = pl.BlockSpec((ngrp, _Q * cout, kdim),
                               lambda bi, ui: (0, 0, 0),
                               memory_space=pltpu.VMEM)
     usize = dsz // _Q
     return pl.pallas_call(
-        partial(_p1_kernel, usize=usize),
+        partial(_p1_kernel, usize=usize, stack=stack),
         grid=(b, usize),
         in_specs=_x_in_specs(cin, h, wd, dsz) + [w_spec],
         out_specs=pl.BlockSpec(

@@ -118,44 +118,20 @@ def main():
 
     segs = getattr(step, "segments", None)
     if donate and segs and os.environ.get("COMA_PROBE_AOT", "1") == "1":
-        # AOT-precompile each segment from ABSTRACT avals (consumes no
-        # donated buffers) — r4: the dispatch-path remote compile fails
-        # deterministically on big train modules while the chipless AOT
-        # path compiles them (artifacts/r4/donate_{dec,fold}.log vs
-        # probe_3prog_pin.log); the AOT result lands in the persistent
-        # cache, so the subsequent dispatch loads instead of compiling.
-        sds = lambda t: jax.tree.map(  # noqa: E731
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
-        p_s, b_s, st_s = sds(state.params), sds(dict(batch)), sds(state)
-        rng_s = sds(jax.random.PRNGKey(1))
-        rw_s = sds(roi_w)
-        try:
-            t0 = time.time()
-            enc = segs["enc_fwd"].jitted
-            feats_s = jax.eval_shape(enc, p_s, b_s, rng_s)
-            enc.lower(p_s, b_s, rng_s).compile()
-            print(f"AOT enc_fwd: {time.time()-t0:.1f}s", flush=True)
-            if "dec_bwd_update" in segs:
-                t0 = time.time()
-                segs["dec_bwd_update"].jitted.lower(
-                    st_s, feats_s, b_s, rw_s, rng_s, None).compile()
-                print(f"AOT dec_bwd_update: {time.time()-t0:.1f}s",
-                      flush=True)
-            else:
-                t0 = time.time()
-                dec = segs["dec_grad"].jitted
-                (_, g_s) = jax.eval_shape(dec, p_s, feats_s, b_s, rw_s,
-                                          rng_s, None)
-                g_dec_s, g_feats_s = g_s
-                dec.lower(p_s, feats_s, b_s, rw_s, rng_s, None).compile()
-                print(f"AOT dec_grad: {time.time()-t0:.1f}s", flush=True)
-                t0 = time.time()
-                segs["enc_bwd_update"].jitted.lower(
-                    st_s, b_s, rng_s, g_feats_s, g_dec_s).compile()
-                print(f"AOT enc_bwd_update: {time.time()-t0:.1f}s",
-                      flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"AOT precompile failed: {str(e)[:200]}", flush=True)
+        # AOT-precompile every segment SIGNATURE (policies + chained
+        # output formats + the loop-carried second signature) — shared
+        # implementation with bench/the train loop; the r4 inline block
+        # bypassed the per-segment KernelPolicy and dropped layouts, so
+        # its cache entries could never be loaded (ADVICE r4).
+        import logging
+
+        logging.basicConfig(level=logging.INFO, stream=sys.stdout)
+        from coma_unet_tpu.train.step import aot_precompile_segments
+
+        t0 = time.time()
+        ok = aot_precompile_segments(step, state, batch, roi_w)
+        print(f"AOT precompile (all signatures): {time.time()-t0:.1f}s "
+              f"ok={ok}", flush=True)
     if donate:
         segs = None  # donated segments consume their buffers; step-only mode
     key = jax.random.PRNGKey(1)

@@ -120,3 +120,39 @@ def test_supported_gate():
     assert not p1_supported((2, 32, 128, 128, 128), 64)   # Cout > 32
     assert not p1_supported((2, 32, 126, 128, 128), 32)   # D % 4 != 0
     assert not p1_supported((2, 32, 128, 4, 128), 32)     # H too small
+
+
+@pytest.mark.parametrize("stack", ["1", "3"])
+def test_stacked_variants_match_xla(stack, monkeypatch):
+    """COMA_P1_STACK=3/1 fold the 9 tap dots into 3/1 stacked-K dots
+    (VERDICT r4 item 2: cut the per-tap f32 accumulator traffic); same
+    math as stack=9, pinned against XLA fwd + full VJP here."""
+    monkeypatch.setenv("COMA_P1_STACK", stack)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8, 128)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(6, 4, 3, 3, 3)) * 0.1, jnp.float32)
+    got = _p1_fwd(x, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv(x, w)),
+                               rtol=1e-4, atol=1e-5)
+    g1 = jax.grad(lambda a, b_: jnp.sum(pallas_conv3d_p1(a, b_) ** 2),
+                  argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda a, b_: jnp.sum(_xla_conv(a, b_) ** 2),
+                  argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("stack", ["1", "3"])
+def test_stacked_variants_batched(stack, monkeypatch):
+    monkeypatch.setenv("COMA_P1_STACK", stack)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 3, 4, 6, 128)), jnp.float32)
+    wb = jnp.asarray(rng.normal(size=(2, 5, 3, 3, 3, 3)) * 0.1, jnp.float32)
+    got = _p1_fwd(x, wb, interpret=True)
+    want = jnp.concatenate(
+        [_xla_conv(x[i:i + 1], wb[i]) for i in range(2)]
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
