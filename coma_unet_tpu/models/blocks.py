@@ -317,16 +317,29 @@ def conv3d(
         # `pallas_conv3d_supported` (the c=32 Mosaic program crashed the
         # remote compile helper, r3 g216); the channel-split fallback below
         # covers c=32 as two 16-channel convs.
-        pad = (-wd) % 128 if wd > 128 else 0
-        pshape = x.shape[:-1] + (wd + pad,)
+        # r5 extension: the SAME trick for 96 < W < 128 (the 216^3
+        # template geometry's LEVEL-1, 108^3) — without it every level-1
+        # conv at 216 geometry fell to the XLA relayout class, which is
+        # where the 6.5x backward/forward ratio of the r3 216^3 train
+        # step lived (VERDICT r4 item 3). H is zero-padded to a multiple
+        # of 8 alongside (Mosaic sublane alignment), exact by the same
+        # SAME-pad argument (pad rows/cols are zero; outputs there are
+        # cropped; the last true row/col's +1 tap reads the first pad
+        # zero, which IS the SAME pad). COMA_LANEPAD_MID=0 reverts.
+        hh = x.shape[-2]
+        midpad = (96 < wd < 128
+                  and os.environ.get("COMA_LANEPAD_MID", "1") != "0")
+        pad = (-wd) % 128 if (wd > 128 or midpad) else 0
+        hpad = (-hh) % 8 if (pad and hh % 8) else 0
+        pshape = x.shape[:-2] + (hh + hpad, wd + pad)
 
         def padded(a):
             return jnp.pad(
-                a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+                a, [(0, 0)] * (a.ndim - 2) + [(0, hpad), (0, pad)]
             ) if pad else a
 
         def cropped(y):
-            return y[..., :wd] if pad else y
+            return y[..., :hh, :wd] if pad else y
 
         # NB: an opt-in COMA_WIDE_S2 branch (wide-slab Pallas s2, chunked to
         # <=16 channels) lived here through r3 but was never probed on
@@ -364,7 +377,10 @@ def conv3d(
             # full resolution; parts=4 the 64-channel merges at lane-padded
             # 216^3, where wide k=3 slabs are capped at 16 channels (the
             # c=32 Mosaic program crashes the remote compile helper).
-            use_p1 = (k == 3 and pad == 0 and "p1" not in disabled
+            # p1 runs on exactly one 128-lane tile: native W=128 or the
+            # mid-size lane-padded case (108 -> 128); wider slabs are
+            # rejected by p1_supported on the chunk shape either way.
+            use_p1 = (k == 3 and wd + pad == 128 and "p1" not in disabled
                       and _on_tpu()
                       and os.environ.get("COMA_S1_PHASE", "1") != "0")
             cout = kernel.shape[0]
@@ -558,10 +574,13 @@ def cond_conv3d(
             pallas_conv3d_p1_b,
         )
 
-        wd = x.shape[-1]
-        pad = (-wd) % 128 if wd > 128 else 0
-        pshape = x.shape[:-1] + (wd + pad,)
-        use_p1 = (k == 3 and pad == 0 and "p1" not in disabled
+        wd, hh = x.shape[-1], x.shape[-2]
+        midpad = (96 < wd < 128
+                  and os.environ.get("COMA_LANEPAD_MID", "1") != "0")
+        pad = (-wd) % 128 if (wd > 128 or midpad) else 0
+        hpad = (-hh) % 8 if (pad and hh % 8) else 0
+        pshape = x.shape[:-2] + (hh + hpad, wd + pad)
+        use_p1 = (k == 3 and wd + pad == 128 and "p1" not in disabled
                   and os.environ.get("COMA_S1_PHASE", "1") != "0")
         # (cond_conv3d is only reached when _on_tpu() — see the early gate)
         for parts in (1, 2, 4):
@@ -574,8 +593,9 @@ def cond_conv3d(
             ):
                 continue
             ch = cin // parts
-            xp_ = (jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-                   if pad else x)
+            xp_ = (jnp.pad(
+                x, [(0, 0)] * (x.ndim - 2) + [(0, hpad), (0, pad)]
+            ) if pad else x)
             out = None
             for i in range(parts):
                 if p1_ok:
@@ -585,7 +605,7 @@ def cond_conv3d(
                     y = pallas_conv3d_b(xp_[:, i * ch:(i + 1) * ch],
                                         kern[:, :, i * ch:(i + 1) * ch], k)
                 out = y if out is None else out + y
-            return out[..., :wd] if pad else out
+            return out[..., :hh, :wd] if pad else out
     return None
 
 

@@ -102,6 +102,30 @@ def _conv_kernel(*refs, k: int, dsize: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
+def _k1_dtile(dsz: int) -> int:
+    """D-slices per grid step for the pointwise (k=1) kernels. The k=1
+    work per slice is tiny (one [Cout, Cin] x [Cin, H*W] dot, ~34 MFLOP
+    at 32 channels) so a (B, D) grid is launch-overhead-bound at 128^3
+    (256 steps for ~0.5 ms of roofline work); batching D-slices per step
+    amortizes it. No halo needed — pointwise convs read one slice."""
+    for t in (16, 8, 4, 2, 1):
+        if dsz % t == 0:
+            return t
+    return 1
+
+
+def _conv_k1_kernel(x_ref, w_ref, o_ref, *, dtile: int):
+    """Pointwise conv on a [Cin, DT, H, W] block: DT dots (one per
+    D-slice), each [Cout, Cin] x [Cin, H, W] on the MXU."""
+    wk = w_ref[0]  # [Cout, Cin]
+    for j in range(dtile):
+        x = x_ref[:, j]  # [Cin, H, W]
+        o_ref[:, j] = jax.lax.dot_general(
+            wk.astype(x.dtype), x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
 _HTILE = 32  # rows per H tile in the wide-slab kernels (bf16 tile-aligned)
 
 
@@ -277,21 +301,39 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
     if k == 3:
         in_specs = [spec(-1), spec(0), spec(1), w_spec]
         operands = (x, x, x, w_taps)
-    else:
-        in_specs = [spec(0), w_spec]
-        operands = (x, w_taps)
+        out = pl.pallas_call(
+            partial(_conv_kernel, k=k, dsize=dsz),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (None, cout, None, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, cout, dsz, h, wd), x.dtype),
+            compiler_params=_CPARAMS,
+            interpret=interpret,
+        )(*operands)
+        return out
+    # k == 1: D-tiled pointwise kernel (launch-overhead amortization —
+    # see _k1_dtile)
+    dt = _k1_dtile(dsz)
     out = pl.pallas_call(
-        partial(_conv_kernel, k=k, dsize=dsz),
-        grid=grid,
-        in_specs=in_specs,
+        partial(_conv_k1_kernel, dtile=dt),
+        grid=(b, dsz // dt),
+        in_specs=[
+            pl.BlockSpec((None, cin, dt, h, wd),
+                         lambda bi, di: (bi, 0, di, 0, 0),
+                         memory_space=pltpu.VMEM),
+            w_spec,
+        ],
         out_specs=pl.BlockSpec(
-            (None, cout, None, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
+            (None, cout, dt, h, wd), lambda bi, di: (bi, 0, di, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, cout, dsz, h, wd), x.dtype),
         compiler_params=_CPARAMS,
         interpret=interpret,
-    )(*operands)
+    )(x, w_taps)
     return out
 
 
@@ -404,6 +446,28 @@ def _dw_kernel(*refs, k: int, dsize: int, batched: bool = False):
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+
+
+def _dw_k1_kernel(x_ref, g_ref, o_ref, *, dtile: int, batched: bool = False):
+    """Pointwise weight-grad on [_, DT, H, W] blocks (see _k1_dtile):
+    accumulate dw[0, Cout, Cin] over the (B, D/DT) grid, DT pixel
+    contractions per step."""
+    b = pl.program_id(0)
+    d = pl.program_id(1)
+
+    @pl.when(d == 0 if batched else jnp.logical_and(b == 0, d == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    for j in range(dtile):
+        g = g_ref[:, j]   # [Cout, H, W]
+        sx = x_ref[:, j]  # [Cin, H, W]
+        hw = g.shape[1] * g.shape[2]
+        o_ref[0] += jax.lax.dot_general(
+            g.reshape(g.shape[0], hw), sx.reshape(sx.shape[0], hw),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _dw_kernel_htiled(*refs, dsize: int, nh: int, batched: bool):
@@ -553,20 +617,34 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
                           lambda bi, di: (bi, 0, di, 0, 0),
                           memory_space=pltpu.VMEM)
     if k == 3:
-        in_specs = [spec(-1), spec(0), spec(1), g_spec]
-        operands = (x, x, x, g)
+        dw_taps = pl.pallas_call(
+            partial(_dw_kernel, k=k, dsize=dsz, batched=batched),
+            grid=(b, dsz),
+            in_specs=[spec(-1), spec(0), spec(1), g_spec],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=_CPARAMS,
+            interpret=interpret,
+        )(x, x, x, g)
     else:
-        in_specs = [spec(0), g_spec]
-        operands = (x, g)
-    dw_taps = pl.pallas_call(
-        partial(_dw_kernel, k=k, dsize=dsz, batched=batched),
-        grid=(b, dsz),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=out_shape,
-        compiler_params=_CPARAMS,
-        interpret=interpret,
-    )(*operands)
+        # k == 1: D-tiled grid (launch-overhead amortization, _k1_dtile)
+        dt = _k1_dtile(dsz)
+        dw_taps = pl.pallas_call(
+            partial(_dw_k1_kernel, dtile=dt, batched=batched),
+            grid=(b, dsz // dt),
+            in_specs=[
+                pl.BlockSpec((None, cin, dt, h, wd),
+                             lambda bi, di: (bi, 0, di, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, cout, dt, h, wd),
+                             lambda bi, di: (bi, 0, di, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            out_shape=out_shape,
+            compiler_params=_CPARAMS,
+            interpret=interpret,
+        )(x, g)
     # [(B,) k^3, Cout, Cin] -> [(B,) Cout, Cin, k, k, k]
     if batched:
         return jnp.transpose(dw_taps, (0, 2, 3, 1)).reshape(

@@ -85,6 +85,13 @@ def main():
                   _mk((16, 16, 3, 3, 3), 6, jnp.float32) * 0.05, False),
         "head_c0": (_mk((B, 1, S, S, S), 7),
                     _mk((B, 32, 1, 3, 3, 3), 8, jnp.float32) * 0.05, True),
+        # k=1 sites (stack-invariant; probe the r5 D-tiled pointwise
+        # kernels — r4 baselines: reduce_k1b 7.3 fwd / gate-class k1)
+        "k1_32": (_mk((B, 32, S, S, S), 9),
+                  _mk((32, 32, 1, 1, 1), 10, jnp.float32) * 0.05, False),
+        "k1_reduce": (_mk((B, 32, S, S, S), 11),
+                      _mk((B, 1, 32, 1, 1, 1), 12, jnp.float32) * 0.05,
+                      True),
     }
     only = os.environ.get("COMA_PROBE_SITES")
     if only:
@@ -99,7 +106,16 @@ def main():
 
         print(f"\n== COMA_P1_STACK={mode} ==", flush=True)
         for name, (x, w, batched) in sites.items():
-            op = pallas_conv3d_p1_b if batched else pallas_conv3d_p1
+            if w.shape[-1] == 1:  # k=1 site
+                from coma_unet_tpu.ops.pallas.conv3d import (  # noqa: PLC0415
+                    pallas_conv3d,
+                    pallas_conv3d_b,
+                )
+
+                base = pallas_conv3d_b if batched else pallas_conv3d
+                op = lambda a, b_, _o=base: _o(a, b_, 1)  # noqa: E731
+            else:
+                op = pallas_conv3d_p1_b if batched else pallas_conv3d_p1
             fwd = jax.jit(op)
             timed(f"{name} s{mode} fwd", fwd, x, w)
 

@@ -156,3 +156,17 @@ def test_stacked_variants_batched(stack, monkeypatch):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_midsize_lanepad_exact():
+    """The 96<W<128 lane-pad route (216^3 template geometry's level-1,
+    108^3 — VERDICT r4 item 3): zero-pad W->128 and H->/8, run p1, crop.
+    Exact for SAME k=3 because pad rows/cols are zero and the last true
+    row/col's +1 tap reads the first pad zero (models/blocks.py conv3d)."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 4, 8, 12, 108)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(6, 4, 3, 3, 3)) * 0.1, jnp.float32)
+    xp = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, 4), (0, 20)])
+    got = _p1_fwd(xp, w, interpret=True)[..., :12, :108]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(_xla_conv(x, w)),
+                               rtol=1e-4, atol=1e-5)

@@ -247,3 +247,41 @@ def test_cond_conv_wide_lane_pad(monkeypatch):
                                rtol=1e-4, atol=1e-4)
     # two 16-channel chunks through the batched kernel (per-sample weights)
     assert calls == [(b, 16, 6, 8, 256)] * 2
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_k1_gradients_match_xla(batched):
+    """k=1 VJP through the D-tiled pointwise kernels (r5: launch-overhead
+    amortization, conv3d.py _k1_dtile) — dx and dw vs XLA."""
+    import coma_unet_tpu.ops.pallas.conv3d as M
+
+    rng = np.random.default_rng(5)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, 4, 8, 8, 128)), jnp.float32)
+    shape_w = (b, 3, 4, 1, 1, 1) if batched else (3, 4, 1, 1, 1)
+    w = jnp.asarray(rng.normal(size=shape_w) * 0.1, jnp.float32)
+
+    orig_fwd, orig_dw = M._pallas_conv3d_fwd, M._pallas_conv3d_dw
+    M._pallas_conv3d_fwd = lambda x, w, k, interpret=False: orig_fwd(
+        x, w, k, interpret=True)
+    M._pallas_conv3d_dw = lambda x, g, k, batched=False, interpret=False: \
+        orig_dw(x, g, k, batched=batched, interpret=True)
+    try:
+        op = M.pallas_conv3d_b if batched else M.pallas_conv3d
+        g1 = jax.grad(lambda a, b_: jnp.sum(op(a, b_, 1) ** 2),
+                      argnums=(0, 1))(x, w)
+    finally:
+        M._pallas_conv3d_fwd, M._pallas_conv3d_dw = orig_fwd, orig_dw
+    if batched:
+        def ref(a, w_):
+            y = jnp.concatenate(
+                [_xla_conv(a[i:i + 1], w_[i], 1) for i in range(b)])
+            return jnp.sum(y ** 2)
+    else:
+        def ref(a, w_):
+            return jnp.sum(_xla_conv(a, w_, 1) ** 2)
+    g2 = jax.grad(ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-3, atol=1e-3)
