@@ -76,13 +76,18 @@ def _stack_mode() -> int:
     did NOT touch and the r4 attribution left on the table (VERDICT r4
     item 2: merge0/head_c1 shift-bound at ~4x their MXU time while the
     shifted-bytes halving of p1 measured zero net win, so the invariant
-    accumulator traffic is the remaining suspect). COMA_P1_STACK
-    overrides the default (set from the r5 hardware A/B,
-    scripts/s1_stack_probe.py)."""
+    accumulator traffic was the remaining suspect). Measured r5
+    (artifacts/r5/s1_stack_probe.log, solo-chip pairs): stack=1 beats
+    stack=9 by 10% fwd / 6% fwd+bwd on head_c1 (8.68/20.73 vs
+    9.67/22.16 ms) and 4% on mod16 fwd+bwd, with ~2x faster compiles —
+    a modest, consistent win; the kernel class is otherwise at its
+    im2col-shift bandwidth floor (~10 GB of irreducible shifted-copy
+    VMEM traffic per call at ~1.2 TB/s). Default 1; COMA_P1_STACK
+    overrides."""
     import os
 
-    v = os.environ.get("COMA_P1_STACK", "9")
-    return {"1": 1, "3": 3, "9": 9}.get(v, 9)
+    v = os.environ.get("COMA_P1_STACK", "1")
+    return {"1": 1, "3": 3, "9": 9}.get(v, 1)
 
 
 def _w_taps_p1(w: jnp.ndarray) -> jnp.ndarray:
