@@ -33,6 +33,34 @@ import os
 import sys
 
 
+def ensure_compile_cache(cache_dir: str | None = None) -> str:
+    """Activate the persistent compile cache even when jax was imported
+    BEFORE `JAX_COMPILATION_CACHE_DIR` existed in the environment.
+
+    The axon sitecustomize pre-imports jax, and jax snapshots the env var
+    at import — so the `os.environ.setdefault(...)` every entry script
+    does is a SILENT NO-OP unless the var was exported by the launching
+    shell. That is the r5 root cause of the entire warm-cache failure
+    class: manual runs prefixed `JAX_COMPILATION_CACHE_DIR=...` (per
+    CLAUDE.md) wrote and hit entries, while the driver's bare
+    `python bench.py` and un-prefixed probe runs silently compiled with
+    the cache DISABLED every time (BENCH_r04 rc=124 after 1199.7 s of
+    'warm' AOT; "Not writing persistent cache entry ... since cache is
+    disabled/not initialized", /tmp/cache_diag3.log r5). Call this right
+    after `import jax` from every entry point. Returns the active dir."""
+    import jax
+
+    path = (cache_dir
+            or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), ".jax_cache"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
+    if jax.config.jax_compilation_cache_dir != path:
+        jax.config.update("jax_compilation_cache_dir", path)
+    return path
+
+
 def prune_compile_cache(cache_dir: str | None = None,
                         max_mb: float = 16.0) -> int:
     """Delete persistent-cache entries larger than `max_mb`. Returns the
@@ -42,12 +70,19 @@ def prune_compile_cache(cache_dir: str | None = None,
     measured fast; the 32/58 MB entries hit the slow-ingest tail (see
     module docstring). `COMA_CACHE_PRUNE_MB` overrides; 0 (or negative)
     disables pruning."""
+    # activate the cache first — every entry point calls prune at
+    # startup, so this is the single choke point that guarantees the
+    # persistent cache is ON even under the pre-imported-jax environment
+    # (see ensure_compile_cache)
+    try:
+        cache_dir = cache_dir or ensure_compile_cache()
+    except Exception:  # noqa: BLE001 — pruning must never block startup
+        cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     env_cap = os.environ.get("COMA_CACHE_PRUNE_MB")
     if env_cap is not None:
         max_mb = float(env_cap)
         if max_mb <= 0:
             return 0
-    cache_dir = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache_dir or not os.path.isdir(cache_dir):
         return 0
     removed = 0
