@@ -264,17 +264,29 @@ def _fmt_aval(a):
     layouts, so an AOT compile from bare (shape, dtype) avals writes a
     persistent-cache entry the dispatch can never load (it re-lowers with
     the real layouts and misses — the r4 'AOT fallback compiled OK' /
-    SIGKILL loop, ADVICE r4). Falls back to bare avals where formats are
-    unavailable (abstract inputs, CPU tests)."""
+    SIGKILL loop, ADVICE r4). COMMITTED arrays only: lowering a
+    format-carrying aval is byte-identical to lowering the committed
+    array it came from, but an UNCOMMITTED array (jnp.full roi_weights,
+    host-converted batch, PRNG keys) lowers with NO sharding attribute —
+    stamping a format on those injects `sdy.sharding` attrs the dispatch
+    module doesn't have, which is the cache-key mismatch that made the
+    r5 cold populate compile everything twice (CPU HLO diff:
+    committed == fmt-aval, uncommitted != fmt-aval). Falls back to bare
+    avals where formats are unavailable (abstract inputs, CPU tests)."""
     if not hasattr(a, "shape"):
         return a
     fmt = getattr(a, "format", None)
-    if fmt is not None and getattr(fmt, "layout", None) is not None:
+    committed = getattr(a, "_committed", True)  # avals keep given formats
+    wt = bool(getattr(a, "weak_type", False))  # weak-typed args trace with
+    # an extra convert; dropping the flag changes the module (cache miss)
+    if (committed and fmt is not None
+            and getattr(fmt, "layout", None) is not None):
         try:
-            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=fmt)
+            return jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=fmt,
+                                        weak_type=wt)
         except (TypeError, ValueError):
             pass
-    return jax.ShapeDtypeStruct(a.shape, a.dtype)
+    return jax.ShapeDtypeStruct(a.shape, a.dtype, weak_type=wt)
 
 
 def _any_deleted(args) -> bool:

@@ -93,16 +93,34 @@ def test_precompile_budget_skips(cfg, monkeypatch):
 
 
 def test_fmt_aval_preserves_format():
-    x = jnp.ones((4, 8))
-    s = _fmt_aval(x)
-    assert s.shape == x.shape and s.dtype == x.dtype
-    # concrete arrays carry a layout -> the aval must carry it too
+    # COMMITTED arrays keep their layout (dispatch lowers them with
+    # sharding attrs); uncommitted arrays lower bare both ways, so the
+    # aval must be bare too (else the cache keys diverge — r5)
+    xc = jax.device_put(jnp.ones((4, 8)), jax.devices()[0])
+    s = _fmt_aval(xc)
+    assert s.shape == xc.shape and s.dtype == xc.dtype
     assert getattr(s, "format", None) is not None
-    assert s.format.layout == x.format.layout
+    assert s.format.layout == xc.format.layout
+    xu = jnp.full((4, 8), 2.0)  # uncommitted
+    su = _fmt_aval(xu)
+    assert getattr(su.format, "layout", None) is None
     bare = jax.ShapeDtypeStruct((4, 8), jnp.float32)
     assert _fmt_aval(bare) is not bare or True  # no crash on avals
     assert _fmt_aval(None) is None
     assert _fmt_aval(3) == 3
+
+
+def test_fmt_aval_lowering_matches_dispatch():
+    """The module lowered from _fmt_aval avals must be byte-identical to
+    the module dispatch lowers from the concrete args — that identity is
+    what makes the AOT cache entries loadable (r5)."""
+    f = jax.jit(lambda a, b: (a * b).sum())
+    xc = jax.device_put(jnp.ones((8, 16)), jax.devices()[0])  # committed
+    yu = jnp.full((8, 16), 3.0)                               # uncommitted
+    l_dispatch = str(f.lower(xc, yu).compiler_ir(dialect="stablehlo"))
+    l_aot = str(f.lower(_fmt_aval(xc), _fmt_aval(yu))
+                .compiler_ir(dialect="stablehlo"))
+    assert l_dispatch == l_aot
 
 
 def test_any_deleted_detects_donated_buffers():
