@@ -337,11 +337,16 @@ def main() -> None:
             from coma_unet_tpu.train import create_train_state as _cts
             from coma_unet_tpu.train.step import make_eval_step
 
+            # the train section's donated steps consumed `variables`'
+            # buffers — reload fresh params (msgpack cache, ~6 s); the r5
+            # populate run's eval section died on 'Array has been deleted'
+            eval_vars = cached_variables(model, batch,
+                                         lambda: init_on_cpu(model, batch))
             eval_state = _cts(
                 model, make_optimizer(1e-3), jax.random.PRNGKey(0),
                 (batch["mri"], batch["covars"], batch["roi_loc"],
                  batch["roi_std"], batch["roi_compact"]),
-                {"train": True}, variables=variables,
+                {"train": True}, variables=eval_vars,
             )
             eval_step = make_eval_step(model, num_rois=36)
             t0 = time.time()

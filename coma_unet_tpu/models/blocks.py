@@ -321,14 +321,14 @@ def conv3d(
         # template geometry's LEVEL-1, 108^3) — without it every level-1
         # conv at 216 geometry fell to the XLA relayout class, which is
         # where the 6.5x backward/forward ratio of the r3 216^3 train
-        # step lived (VERDICT r4 item 3). H is zero-padded to a multiple
-        # of 8 alongside (Mosaic sublane alignment), exact by the same
-        # SAME-pad argument (pad rows/cols are zero; outputs there are
-        # cropped; the last true row/col's +1 tap reads the first pad
-        # zero, which IS the SAME pad). COMA_LANEPAD_MID=0 reverts.
+        # step lived (VERDICT r4 item 3) — but measured r5: no fwd win
+        # (392 vs 382 ms) and the 216^3 dec_grad bwd module crashes the
+        # compile helper (exit 1, artifacts/r5/bench_populate.log), so
+        # it defaults OFF. H is zero-padded to a multiple of 8; exact
+        # by the SAME-pad argument (test_midsize_lanepad_exact).
         hh = x.shape[-2]
         midpad = (96 < wd < 128
-                  and os.environ.get("COMA_LANEPAD_MID", "1") != "0")
+                  and os.environ.get("COMA_LANEPAD_MID", "0") != "0")
         pad = (-wd) % 128 if (wd > 128 or midpad) else 0
         hpad = (-hh) % 8 if (pad and hh % 8) else 0
         pshape = x.shape[:-2] + (hh + hpad, wd + pad)
@@ -576,7 +576,7 @@ def cond_conv3d(
 
         wd, hh = x.shape[-1], x.shape[-2]
         midpad = (96 < wd < 128
-                  and os.environ.get("COMA_LANEPAD_MID", "1") != "0")
+                  and os.environ.get("COMA_LANEPAD_MID", "0") != "0")
         pad = (-wd) % 128 if (wd > 128 or midpad) else 0
         hpad = (-hh) % 8 if (pad and hh % 8) else 0
         pshape = x.shape[:-2] + (hh + hpad, wd + pad)
