@@ -351,18 +351,18 @@ def main() -> None:
             eval_step = make_eval_step(model, num_rois=36)
             t0 = time.time()
             pred, vox, roi = eval_step(eval_state, batch)
-            _ = float(jax.tree.leaves(vox)[0])
+            _ = float(jnp.sum(jax.tree.leaves(vox)[0]))
             _note("eval_compile_s", round(time.time() - t0, 1),
                   f"eval step compile+run: {time.time()-t0:.1f}s")
             out = None
             for _ in range(3):  # warm
                 out = eval_step(eval_state, batch)
-            _ = float(jax.tree.leaves(out[1])[0])
+            _ = float(jnp.sum(jax.tree.leaves(out[1])[0]))
             n = 10
             t0 = time.time()
             for _ in range(n):
                 out = eval_step(eval_state, batch)
-            _ = float(jax.tree.leaves(out[1])[0])
+            _ = float(jnp.sum(jax.tree.leaves(out[1])[0]))
             ms = (time.time() - t0) / n * 1000
             _note("eval_step_b2_ms", round(ms, 1),
                   f"eval step (b=2, fwd + metric suite): {ms:.1f} ms")
