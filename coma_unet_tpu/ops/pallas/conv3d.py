@@ -102,14 +102,14 @@ def _conv_kernel(*refs, k: int, dsize: int):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-def _k1_dtile(dsz: int) -> int:
-    """D-slices per grid step for the pointwise (k=1) kernels. The k=1
-    work per slice is tiny (one [Cout, Cin] x [Cin, H*W] dot, ~34 MFLOP
-    at 32 channels) so a (B, D) grid is launch-overhead-bound at 128^3
-    (256 steps for ~0.5 ms of roofline work); batching D-slices per step
-    amortizes it. No halo needed — pointwise convs read one slice."""
+def _k1_dtile(dsz: int, cin: int, cout: int, h: int, w: int) -> int:
+    """Pointwise-kernel D-slices per grid step ((B, D) grids are
+    launch-overhead-bound at 128^3), capped so double-buffered blocks
+    fit VMEM: 68 MB keeps the chip-proven dt=16 at 128^3 (identical
+    HLO); wide 216 slabs get dt<=4 (dt=8 crashed the helper, r5)."""
+    per = (cin + cout) * h * w * 4  # slice bytes incl. double-buffer
     for t in (16, 8, 4, 2, 1):
-        if dsz % t == 0:
+        if dsz % t == 0 and (t == 1 or t * per <= 68 << 20):
             return t
     return 1
 
@@ -316,7 +316,7 @@ def _pallas_conv3d_fwd(x: jnp.ndarray, w: jnp.ndarray, k: int,
         return out
     # k == 1: D-tiled pointwise kernel (launch-overhead amortization —
     # see _k1_dtile)
-    dt = _k1_dtile(dsz)
+    dt = _k1_dtile(dsz, cin, cout, h, wd)
     out = pl.pallas_call(
         partial(_conv_k1_kernel, dtile=dt),
         grid=(b, dsz // dt),
@@ -628,7 +628,7 @@ def _pallas_conv3d_dw(x: jnp.ndarray, g: jnp.ndarray, k: int,
         )(x, x, x, g)
     else:
         # k == 1: D-tiled grid (launch-overhead amortization, _k1_dtile)
-        dt = _k1_dtile(dsz)
+        dt = _k1_dtile(dsz, cin, cout, h, wd)
         dw_taps = pl.pallas_call(
             partial(_dw_k1_kernel, dtile=dt, batched=batched),
             grid=(b, dsz // dt),
