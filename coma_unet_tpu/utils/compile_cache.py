@@ -87,12 +87,22 @@ def prune_compile_cache(cache_dir: str | None = None,
         return 0
     removed = 0
     cap = max_mb * 1024 * 1024
+    # Name-based drops independent of the size cap: BOTH hangs observed in
+    # r5 were big-entry LOADS of the forward program as the process's FIRST
+    # TPU action (the relay session's cold big-load can hang indefinitely —
+    # 29 min and 12 min observed, artifacts/r5/bench_populate2.log /
+    # bench_final_warm.log), while fresh remote compiles never hang AND
+    # leave the relay session warm for every later load/ingest. Dropping
+    # the forward entry trades ~250 s of deterministic compile for
+    # removing the unbounded-hang mode from unattended (driver) runs.
+    drop = tuple(filter(None, os.environ.get(
+        "COMA_CACHE_DROP", "jit_forward-").split(",")))
     for name in os.listdir(cache_dir):
         if not name.endswith("-cache"):
             continue  # only JAX cache entries; params .msgpack etc. stay
         path = os.path.join(cache_dir, name)
         try:
-            if os.path.getsize(path) > cap:
+            if name.startswith(drop) or os.path.getsize(path) > cap:
                 os.remove(path)
                 removed += 1
         except OSError:
